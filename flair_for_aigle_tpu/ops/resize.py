@@ -1,0 +1,168 @@
+"""Image resizing primitives with PyTorch / SciPy-compatible semantics.
+
+The reference stack leans on three distinct resampling conventions that are
+NOT interchangeable:
+
+* ``F.interpolate(mode="bilinear", align_corners=False)`` — used throughout
+  the model zoo (reference flair_hub/models/flair_model.py:327,
+  multitemp_model.py:613) and for fusion feature-map alignment.
+* ``F.interpolate(mode="nearest")`` — smp U-Net decoder upsampling.
+* ``scipy.ndimage.zoom(order=0)`` — output-resolution rescale of predictions
+  in the zonal writer (reference flair_zonal_detection/inference.py:212-226).
+
+We implement all three as gather-based ops on the two spatial axes of an
+NHWC tensor. Gathers along a single axis lower to efficient dynamic-slice /
+take ops on TPU and fuse with surrounding elementwise work; no antialiasing
+is applied (matching torch defaults, unlike ``jax.image.resize``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _torch_bilinear_weights(in_size: int, out_size: int):
+    """Source indices + lerp weights for align_corners=False half-pixel mapping."""
+    scale = in_size / out_size
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) * scale - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = (src - lo).astype(np.float32)
+    return lo, hi, w_hi
+
+
+def _torch_nearest_index(in_size: int, out_size: int):
+    """torch mode='nearest' index map: floor(dst * in/out)."""
+    scale = in_size / out_size
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * scale).astype(np.int64)
+    return np.minimum(idx, in_size - 1)
+
+
+def _scipy_zoom0_index(in_size: int, out_size: int):
+    """scipy.ndimage.zoom(order=0, grid_mode=False) index map.
+
+    scipy (grid_mode=False) maps output coordinate i to input coordinate
+    i * (in-1)/(out-1) (endpoint-aligned), then rounds (spline order 0).
+    """
+    if out_size == 1 or in_size == 1:
+        return np.zeros(out_size, dtype=np.int64)
+    src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    idx = np.round(src).astype(np.int64)
+    return np.clip(idx, 0, in_size - 1)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def resize_bilinear_nhwc(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize of (..., H, W, C), torch align_corners=False semantics."""
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+
+    lo_h, hi_h, wh = _torch_bilinear_weights(h, out_h)
+    lo_w, hi_w, ww = _torch_bilinear_weights(w, out_w)
+
+    # rows
+    top = jnp.take(xf, jnp.asarray(lo_h), axis=-3)
+    bot = jnp.take(xf, jnp.asarray(hi_h), axis=-3)
+    wh = jnp.asarray(wh)[:, None, None]
+    rows = top * (1.0 - wh) + bot * wh
+    # cols
+    left = jnp.take(rows, jnp.asarray(lo_w), axis=-2)
+    right = jnp.take(rows, jnp.asarray(hi_w), axis=-2)
+    ww = jnp.asarray(ww)[:, None]
+    out = left * (1.0 - ww) + right * ww
+    return out.astype(dtype)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def resize_nearest_nhwc(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Nearest resize of (..., H, W, C), torch mode='nearest' semantics."""
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x
+    idx_h = jnp.asarray(_torch_nearest_index(h, out_h))
+    idx_w = jnp.asarray(_torch_nearest_index(w, out_w))
+    out = jnp.take(x, idx_h, axis=-3)
+    out = jnp.take(out, idx_w, axis=-2)
+    return out
+
+
+def interpolate(
+    x: jax.Array,
+    size: tuple[int, int],
+    mode: str = "bilinear",
+    channel_axis: int = -1,
+) -> jax.Array:
+    """General entry point mirroring ``F.interpolate(align_corners=False)``.
+
+    Accepts NHWC (channel_axis=-1, native layout) or NCHW (channel_axis=1).
+    """
+    out_h, out_w = size
+    if channel_axis in (-1, x.ndim - 1):
+        nhwc = x
+    elif channel_axis == 1 and x.ndim == 4:
+        nhwc = jnp.transpose(x, (0, 2, 3, 1))
+    else:
+        raise ValueError(f"Unsupported channel_axis={channel_axis} for ndim={x.ndim}")
+
+    if mode == "bilinear":
+        out = resize_bilinear_nhwc(nhwc, out_h, out_w)
+    elif mode == "nearest":
+        out = resize_nearest_nhwc(nhwc, out_h, out_w)
+    else:
+        raise ValueError(f"Unknown interpolation mode: {mode}")
+
+    if channel_axis == 1 and x.ndim == 4:
+        out = jnp.transpose(out, (0, 3, 1, 2))
+    return out
+
+
+def zoom_nearest(x: np.ndarray | jax.Array, scale: float) -> jax.Array:
+    """scipy.ndimage.zoom(order=0) equivalent on the last two axes.
+
+    Matches the reference's ``resample_prediction`` (inference.py:212-226):
+    output size = round(in * scale), coordinate mapping i/zoom with rounding.
+    """
+    x = jnp.asarray(x)
+    h, w = x.shape[-2], x.shape[-1]
+    out_h = int(round(h * scale))
+    out_w = int(round(w * scale))
+    if (out_h, out_w) == (h, w):
+        return x
+    idx_h = jnp.asarray(_scipy_zoom0_index(h, out_h))
+    idx_w = jnp.asarray(_scipy_zoom0_index(w, out_w))
+    out = jnp.take(x, idx_h, axis=-2)
+    out = jnp.take(out, idx_w, axis=-1)
+    return out
+
+
+def adaptive_avg_pool_nhwc(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """torch ``AdaptiveAvgPool2d`` semantics on (..., H, W, C).
+
+    Bin i covers input range [floor(i*H/out), ceil((i+1)*H/out)). Implemented
+    as two dense averaging matmuls so it rides the MXU for the PSP pyramid.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+
+    def pool_matrix(in_size, out_size):
+        m = np.zeros((out_size, in_size), dtype=np.float32)
+        for i in range(out_size):
+            lo = int(np.floor(i * in_size / out_size))
+            hi = int(np.ceil((i + 1) * in_size / out_size))
+            m[i, lo:hi] = 1.0 / (hi - lo)
+        return jnp.asarray(m)
+
+    mh = pool_matrix(h, out_h)
+    mw = pool_matrix(w, out_w)
+    xf = x.astype(jnp.float32)
+    out = jnp.einsum("oh,...hwc->...owc", mh, xf)
+    out = jnp.einsum("pw,...owc->...opc", mw, out)
+    return out.astype(x.dtype)
