@@ -1,0 +1,389 @@
+"""Checkpoint conversion and loading.
+
+Two layers of functionality:
+
+1. ``convert_torch_state_dict`` — mechanical torch→flax parameter import.
+   Our flax module trees mirror torch module names 1:1, so each flax leaf
+   path maps to exactly one torch key; per-leaf shape rules handle layout
+   (OIHW→HWIO etc.).
+
+2. ``load_checkpoint`` — behavioral port of the reference loader
+   (/root/reference/flair_hub/models/checkpoint.py:176-290): reads
+   .safetensors / torch .ckpt/.pth, strips ``model.`` prefixes, reconciles
+   per-task segmentation-head class counts (Xavier/zeros re-init on
+   mismatch, checkpoint.py:87-131), bicubically interpolates Swin
+   ``relative_position_bias_table`` on input-size changes
+   (checkpoint.py:33-56), and loads non-strictly.
+
+Orbax is used for native-format train checkpoints (train/trainer.py); this
+module covers torch-format interop for the published FLAIR-HUB weights.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# Leaf-name translation: flax leaf -> torch suffix
+_LEAF_TO_TORCH = {
+    "kernel": "weight",
+    "scale": "weight",
+    "bias": "bias",
+    "mean": "running_mean",
+    "var": "running_var",
+}
+
+
+def _flatten(tree: Mapping[str, Any], prefix=()) -> dict[tuple[str, ...], Any]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten(flat: dict[tuple[str, ...], Any]) -> dict:
+    tree: dict = {}
+    for path, v in flat.items():
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return tree
+
+
+def torch_key_for(path: tuple[str, ...]) -> str:
+    """Map a flax param path to the corresponding torch state-dict key."""
+    *mods, leaf = path
+    suffix = _LEAF_TO_TORCH.get(leaf, leaf)
+    return ".".join([*mods, suffix]) if mods else suffix
+
+
+def _import_leaf(
+    value: np.ndarray,
+    target_shape: tuple[int, ...],
+    is_transpose_conv: bool,
+    leaf_name: str,
+) -> np.ndarray | None:
+    """Convert one torch tensor into the flax leaf layout; None if impossible.
+
+    Layout rules key off the flax leaf NAME: only ``kernel`` leaves get
+    transposed (a square Linear weight is shape-ambiguous otherwise); other
+    leaves (bias tables, raw parameters) are copied verbatim.
+    """
+    v = np.asarray(value)
+    if leaf_name != "kernel":
+        return v if v.shape == tuple(target_shape) else None
+    if v.ndim == 4 and len(target_shape) == 4:
+        if is_transpose_conv:
+            # torch (I, O, kH, kW) -> flip spatial -> (kH, kW, I, O)
+            w = v[:, :, ::-1, ::-1]
+            w = np.transpose(w, (2, 3, 0, 1))
+        else:
+            # torch (O, I/g, kH, kW) -> (kH, kW, I/g, O)
+            w = np.transpose(v, (2, 3, 1, 0))
+        return w if w.shape == tuple(target_shape) else None
+    if v.ndim == 3 and len(target_shape) == 2 and v.shape[-1] == 1:
+        # Conv1d kernel-1 (O, I, 1) used as a Linear
+        w = v[:, :, 0].T
+        return w if w.shape == tuple(target_shape) else None
+    if v.ndim == 2 and len(target_shape) == 2:
+        w = v.T
+        return w if w.shape == tuple(target_shape) else None
+    return v if v.shape == tuple(target_shape) else None
+
+
+def convert_torch_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    variables: Mapping[str, Any],
+    transpose_conv_prefixes: tuple[str, ...] = (),
+    strict: bool = False,
+) -> tuple[dict, dict]:
+    """Import a torch state dict into flax ``variables`` ({'params', 'batch_stats'}).
+
+    Returns (new_variables, report). Keys present in neither direction are
+    reported, mirroring the reference's strict=False load
+    (reference checkpoint.py:278).
+    """
+    report = {"loaded": [], "missing": [], "unused": [], "shape_mismatch": []}
+    new_cols = {}
+    used_keys = set()
+    for col, tree in variables.items():
+        flat = _flatten(tree)
+        new_flat = {}
+        for path, leaf in flat.items():
+            tkey = torch_key_for(path)
+            if tkey in state_dict:
+                is_tc = any(
+                    ".".join(path).startswith(p) for p in transpose_conv_prefixes
+                )
+                imported = _import_leaf(
+                    state_dict[tkey], np.shape(leaf), is_tc, path[-1]
+                )
+                if imported is None:
+                    report["shape_mismatch"].append(
+                        (tkey, tuple(np.shape(state_dict[tkey])), tuple(np.shape(leaf)))
+                    )
+                    new_flat[path] = leaf
+                else:
+                    new_flat[path] = jnp.asarray(
+                        np.ascontiguousarray(imported), dtype=jnp.asarray(leaf).dtype
+                    )
+                    report["loaded"].append(tkey)
+                    used_keys.add(tkey)
+            else:
+                report["missing"].append(tkey)
+                new_flat[path] = leaf
+        new_cols[col] = _unflatten(new_flat)
+    report["unused"] = [
+        k for k in state_dict
+        if k not in used_keys and not k.endswith("num_batches_tracked")
+    ]
+    if strict and (report["missing"] or report["shape_mismatch"]):
+        raise ValueError(f"strict conversion failed: {report}")
+    return new_cols, report
+
+
+def export_torch_state_dict(
+    variables: Mapping[str, Any],
+    transpose_conv_prefixes: tuple[str, ...] = (),
+) -> dict[str, np.ndarray]:
+    """Inverse of convert: flax variables -> torch-layout state dict."""
+    out = {}
+    for col, tree in variables.items():
+        for path, leaf in _flatten(tree).items():
+            v = np.asarray(leaf)
+            key = torch_key_for(path)
+            if v.ndim == 4:
+                if any(".".join(path).startswith(p) for p in transpose_conv_prefixes):
+                    v = np.transpose(v, (2, 3, 0, 1))[:, :, ::-1, ::-1]
+                else:
+                    v = np.transpose(v, (3, 2, 0, 1))
+            elif v.ndim == 2 and path[-1] == "kernel":
+                v = v.T
+            out[key] = np.ascontiguousarray(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Reference load_checkpoint behavioral port
+# ---------------------------------------------------------------------------
+
+
+def read_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """Load .safetensors or torch .ckpt/.pt/.pth into numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def strip_model_prefix_if_needed(
+    state_dict: dict[str, np.ndarray], sample_target_keys: list[str]
+) -> dict[str, np.ndarray]:
+    """Remove 'model.' prefix when the target tree doesn't use it.
+
+    Reference: checkpoint.py:134-173.
+    """
+    ckpt_has = any(k.startswith("model.") for k in state_dict)
+    target_lacks = all(not k.startswith("model.") for k in sample_target_keys)
+    if ckpt_has and target_lacks:
+        out = {}
+        for k, v in state_dict.items():
+            out[k[len("model."):] if k.startswith("model.") else k] = v
+        return out
+    return state_dict
+
+
+def _bicubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    ax = np.abs(x)
+    w = np.where(
+        ax <= 1,
+        (a + 2) * ax**3 - (a + 3) * ax**2 + 1,
+        np.where(ax < 2, a * ax**3 - 5 * a * ax**2 + 8 * a * ax - 4 * a, 0.0),
+    )
+    return w
+
+
+def bicubic_resize_2d(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """torch F.interpolate(mode='bicubic', align_corners=False) on (H, W, C)."""
+
+    def axis_weights(in_size, out_size):
+        scale = in_size / out_size
+        src = (np.arange(out_size) + 0.5) * scale - 0.5
+        base = np.floor(src).astype(int)
+        idx = base[:, None] + np.arange(-1, 3)[None, :]
+        w = _bicubic_kernel(src[:, None] - idx)
+        idx = np.clip(idx, 0, in_size - 1)
+        return idx, w
+
+    ih, iw = img.shape[:2]
+    idx_h, w_h = axis_weights(ih, out_h)
+    idx_w, w_w = axis_weights(iw, out_w)
+    # straightforward gather-weighted sum (small tables; host-side one-time op)
+    rows = (img[idx_h] * w_h[:, :, None, None]).sum(axis=1)  # (out_h, W, C)
+    cols = (rows[:, idx_w] * w_w[None, :, :, None]).sum(axis=2)  # (out_h, out_w, C)
+    return cols
+
+
+def interpolate_bias_table(ckpt_tensor: np.ndarray, target_shape: tuple[int, int]) -> np.ndarray:
+    """Resize a Swin relative-position-bias table (N, heads) to a new window.
+
+    Reference: checkpoint.py:33-56 (bicubic, align_corners=False).
+    """
+    old_len, num_heads = ckpt_tensor.shape
+    new_len = target_shape[0]
+    if old_len == new_len:
+        return ckpt_tensor
+    size_old = int(old_len ** 0.5)
+    size_new = int(new_len ** 0.5)
+    assert size_old * size_old == old_len, f"bias table {old_len} not square"
+    assert size_new * size_new == new_len, f"bias table {new_len} not square"
+    img = ckpt_tensor.reshape(size_old, size_old, num_heads).astype(np.float32)
+    out = bicubic_resize_2d(img, size_new, size_new)
+    return out.reshape(new_len, num_heads)
+
+
+def xavier_uniform_like(rng: np.random.Generator, shape) -> np.ndarray:
+    fan_in, fan_out = _fans(shape)
+    bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return rng.uniform(-bound, bound, size=shape).astype(np.float32)
+
+
+def _fans(shape):
+    if len(shape) == 4:  # HWIO
+        rf = shape[0] * shape[1]
+        return shape[2] * rf, shape[3] * rf
+    if len(shape) == 2:
+        return shape[0], shape[1]
+    n = int(np.prod(shape))
+    return n, n
+
+
+def load_checkpoint(
+    conf: Mapping[str, Any],
+    variables: Mapping[str, Any],
+    transpose_conv_prefixes: tuple[str, ...] = (),
+    exit_on_fail: bool = True,
+    seed: int = 0,
+):
+    """Load a reference-format checkpoint into model variables.
+
+    Behavioral port of reference checkpoint.py:176-290:
+    * invalid path → SystemExit (if exit_on_fail)
+    * 'model.' prefix stripping
+    * per-task ``main_decoders.<task>.seg_model.segmentation_head.0`` class
+      count check → Xavier weight / zero bias re-init on mismatch
+    * aux decoder heads likewise
+    * relative_position_bias_table shape mismatch → bicubic interpolation
+    * any other shape mismatch → re-init
+    * non-strict load
+    Returns (new_variables, report).
+    """
+    path = conf["paths"]["ckpt_model_path"]
+    logger.info("→ Loading checkpoint from: %s", path)
+    if not path or not os.path.isfile(path):
+        logger.info("Invalid checkpoint path.")
+        if exit_on_fail:
+            raise SystemExit()
+        return variables, {"loaded": [], "missing": [], "unused": [], "shape_mismatch": []}
+
+    state_dict = read_torch_checkpoint(path)
+    rng = np.random.default_rng(seed)
+
+    flat_params = _flatten(variables.get("params", {}))
+    target_keys = [torch_key_for(p) for p in flat_params]
+    state_dict = strip_model_prefix_if_needed(state_dict, target_keys)
+
+    matched_tasks, reinit_tasks = set(), set()
+    reinit_count = 0
+
+    # Per-task head reconciliation (main + aux decoders)
+    for path_t, leaf in flat_params.items():
+        key = torch_key_for(path_t)
+        m = re.match(
+            r"(?:model\.)?(main_decoders|aux_decoders)\.([^.]+)\.seg_model"
+            r"\.segmentation_head\.0\.weight$",
+            key,
+        )
+        if not m:
+            continue
+        task = m.group(2).split("__")[-1]
+        expected_classes = np.shape(leaf)[-1]  # HWIO: out channels last
+        cand = key if key in state_dict else "model." + key
+        if cand in state_dict:
+            ckpt_classes = state_dict[cand].shape[0]
+            if ckpt_classes != expected_classes:
+                logger.info(
+                    "→ Mismatch: %s: ckpt=%d, config=%d", cand, ckpt_classes, expected_classes
+                )
+                del state_dict[cand]
+                bkey = cand.replace("weight", "bias")
+                state_dict.pop(bkey, None)
+                reinit_tasks.add(task)
+                reinit_count += 1
+            else:
+                matched_tasks.add(task)
+        else:
+            logger.info("→ Missing: %s", key)
+            reinit_tasks.add(task)
+
+    # Bias-table interpolation + generic shape mismatch handling
+    for path_t, leaf in flat_params.items():
+        key = torch_key_for(path_t)
+        if key not in state_dict:
+            continue
+        tgt_shape = tuple(np.shape(leaf))
+        src = state_dict[key]
+        if "relative_position_bias_table" in key and tuple(src.shape) != tgt_shape:
+            logger.info("→ Interpolating %s: %s → %s", key, src.shape, tgt_shape)
+            try:
+                state_dict[key] = interpolate_bias_table(np.asarray(src), tgt_shape)
+            except Exception as e:  # noqa: BLE001
+                logger.info("Interpolation failed for %s: %s; reinitializing", key, e)
+                del state_dict[key]
+                reinit_count += 1
+
+    new_vars, report = convert_torch_state_dict(
+        state_dict, variables, transpose_conv_prefixes=transpose_conv_prefixes
+    )
+
+    # Xavier/zeros re-init of heads that were dropped above
+    flat_new = _flatten(new_vars["params"])
+    for path_t in list(flat_new):
+        key = torch_key_for(path_t)
+        if re.search(r"segmentation_head\.0\.(weight|bias)$", key):
+            task_match = re.search(r"\.([^.]+)\.seg_model", key)
+            task = task_match.group(1).split("__")[-1] if task_match else ""
+            if task in reinit_tasks:
+                shape = np.shape(flat_new[path_t])
+                if key.endswith("weight"):
+                    flat_new[path_t] = jnp.asarray(xavier_uniform_like(rng, shape))
+                else:
+                    flat_new[path_t] = jnp.zeros(shape, jnp.float32)
+    new_vars = dict(new_vars)
+    new_vars["params"] = _unflatten(flat_new)
+
+    report["matched_tasks"] = sorted(matched_tasks)
+    report["reinit_tasks"] = sorted(reinit_tasks)
+    logger.info(
+        "Checkpoint load summary: matched=%s reinit=%s loaded=%d missing=%d unused=%d",
+        sorted(matched_tasks), sorted(reinit_tasks),
+        len(report["loaded"]), len(report["missing"]), len(report["unused"]),
+    )
+    return new_vars, report

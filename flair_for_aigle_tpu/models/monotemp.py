@@ -1,0 +1,151 @@
+"""Monotemporal model factory: the smp ``create_model`` equivalent.
+
+Behavioral port of the reference's FLAIR_Monotemp
+(/root/reference/flair_hub/models/monotemp_model.py:34-97): the arch string
+``"<encoder>-<decoder>"`` (e.g. ``resnet34-unet``,
+``swin_base_patch4_window12_384-upernet``) selects an encoder tower and a
+decoder+head. ``return_type='encoder'`` yields the feature-pyramid tower;
+``'decoder'`` yields a DecoderWrapper-equivalent module (decoder →
+segmentation head) consuming a feature pyramid.
+
+Naming: flax module names may contain dots, and we exploit that to mirror
+torch state-dict keys exactly. A parent instantiates
+``make_encoder(..., name="encoders.AERIAL_RGBI.seg_model")`` and gets param
+keys like ``encoders.AERIAL_RGBI.seg_model.conv1.weight`` (ResNet, flat
+torchvision keys) or ``...seg_model.model.patch_embed.proj.weight`` (Swin —
+smp's TimmUniversalEncoder nests the timm backbone under ``model.``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from flax import linen as nn
+
+from flair_for_aigle_tpu.models.resnet import ResNetEncoder, _RESNET_SPECS
+from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
+from flair_for_aigle_tpu.models.unet import SegmentationHead, UnetDecoder
+from flair_for_aigle_tpu.models.upernet import UPerNetDecoder, UPerNetSegmentationHead
+
+_SWIN_SPECS = {
+    # name: (embed_dim, depths, num_heads, window)
+    "swin_tiny_patch4_window7_224": (96, (2, 2, 6, 2), (3, 6, 12, 24), 7),
+    "swin_small_patch4_window7_224": (96, (2, 2, 18, 2), (3, 6, 12, 24), 7),
+    "swin_base_patch4_window7_224": (128, (2, 2, 18, 2), (4, 8, 16, 32), 7),
+    "swin_base_patch4_window12_384": (128, (2, 2, 18, 2), (4, 8, 16, 32), 12),
+    "swin_large_patch4_window12_384": (192, (2, 2, 18, 2), (6, 12, 24, 48), 12),
+}
+
+
+def encoder_out_channels(encoder_name: str, in_channels: int) -> tuple[int, ...]:
+    if encoder_name in _RESNET_SPECS:
+        return ResNetEncoder(arch=encoder_name, in_channels=in_channels).out_channels
+    if encoder_name in _SWIN_SPECS:
+        ed, depths, heads, win = _SWIN_SPECS[encoder_name]
+        return SwinTransformerEncoder(
+            in_channels=in_channels, embed_dim=ed, depths=depths,
+            num_heads=heads, window_size=win,
+        ).out_channels
+    raise ValueError(f"Unknown encoder: {encoder_name}")
+
+
+class TimmUniversalEncoder(nn.Module):
+    """smp's timm wrapper: backbone params live under a ``model.`` sub-level."""
+
+    encoder_name: str
+    in_channels: int
+
+    @property
+    def out_channels(self) -> tuple[int, ...]:
+        return encoder_out_channels(self.encoder_name, self.in_channels)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ed, depths, heads, win = _SWIN_SPECS[self.encoder_name]
+        return SwinTransformerEncoder(
+            in_channels=self.in_channels, embed_dim=ed, depths=depths,
+            num_heads=heads, window_size=win, name="model",
+        )(x, train=train)
+
+
+def make_encoder(encoder_name: str, in_channels: int, name: str) -> nn.Module:
+    """Encoder module rooted at ``name`` with smp-compatible internal naming."""
+    if encoder_name in _RESNET_SPECS:
+        return ResNetEncoder(arch=encoder_name, in_channels=in_channels, name=name)
+    if encoder_name in _SWIN_SPECS:
+        return TimmUniversalEncoder(encoder_name, in_channels, name=name)
+    raise ValueError(f"Unknown encoder: {encoder_name}")
+
+
+class MonotempDecoder(nn.Module):
+    """``FLAIR_Monotemp(return_type='decoder')`` equivalent (DecoderWrapper).
+
+    Instantiate with ``name='main_decoders.<task>.seg_model'`` in a parent so
+    param paths match reference checkpoint keys.
+    """
+
+    decoder_name: str
+    classes: int
+
+    @nn.compact
+    def __call__(self, *features, train: bool = False):
+        if self.decoder_name == "unet":
+            y = UnetDecoder(name="decoder")(*features, train=train)
+            return SegmentationHead(self.classes, name="segmentation_head")(y)
+        if self.decoder_name == "upernet":
+            y = UPerNetDecoder(name="decoder")(*features, train=train)
+            return UPerNetSegmentationHead(self.classes, name="segmentation_head")(y)
+        raise ValueError(f"Unknown decoder: {self.decoder_name}")
+
+
+@dataclass
+class MonotempSpec:
+    encoder_name: str
+    decoder_name: str
+
+    @classmethod
+    def from_arch(cls, arch: str) -> "MonotempSpec":
+        parts = arch.split("-")
+        return cls(parts[0], parts[1])
+
+
+class SmpModel(nn.Module):
+    """Standalone smp-style model (encoder/decoder/segmentation_head), used
+    for single-modality paths and as the minimum end-to-end slice."""
+
+    arch: str
+    in_channels: int = 3
+    classes: int = 19
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        spec = MonotempSpec.from_arch(self.arch)
+        feats = make_encoder(spec.encoder_name, self.in_channels, name="encoder")(
+            x, train=train
+        )
+        if spec.decoder_name == "unet":
+            y = UnetDecoder(name="decoder")(*feats, train=train)
+            return SegmentationHead(self.classes, name="segmentation_head")(y)
+        if spec.decoder_name == "upernet":
+            y = UPerNetDecoder(name="decoder")(*feats, train=train)
+            return UPerNetSegmentationHead(self.classes, name="segmentation_head")(y)
+        raise ValueError(f"Unknown decoder: {spec.decoder_name}")
+
+
+def create_monotemp_model(
+    config: dict,
+    channels: int = 3,
+    classes: int = 19,
+    img_size: int = 512,
+    return_type: str = "encoder",
+):
+    """Reference FLAIR_Monotemp factory info (monotemp_model.py:34-97).
+
+    Returns the (encoder_name/decoder_name, module-factory) pieces used by
+    FlairHubModel; see models/flair_model.py.
+    """
+    assert return_type in ("encoder", "decoder")
+    spec = MonotempSpec.from_arch(config["models"]["monotemp_model"]["arch"])
+    if return_type == "encoder":
+        return spec.encoder_name
+    return spec.decoder_name

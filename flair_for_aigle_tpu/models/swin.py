@@ -1,0 +1,228 @@
+"""Swin Transformer v1 encoder (timm 1.x layout), NHWC flax.
+
+Backbone of the reference's flagship arch
+``swin_base_patch4_window12_384-upernet`` (reference
+configs/train/config_models.yaml:5, loaded through smp's
+TimmUniversalEncoder — monotemp_model.py:76-92). Param tree mirrors timm
+1.x state-dict names (``layers.{i}.blocks.{j}.attn.qkv`` etc., downsample at
+stage entry on layers 1-3) so published FLAIR-HUB .safetensors convert
+mechanically; the checkpoint converter also remaps the older
+downsample-at-stage-exit naming when detected.
+
+Returned features mimic smp's TimmUniversalEncoder with a transformer
+backbone: 6 entries ``[input, zero-channel dummy, s4, s8, s16, s32]`` with
+out_channels ``(C_in, 0, 128, 256, 512, 1024)`` for swin_base — the
+reference's fusion logic keys off those zero-channel dummies
+(flair_model.py:206,303,517).
+
+Window attention runs as dense batched matmuls (B·nW, heads, T, T) with
+T = window² tokens — MXU-friendly; the shift masks are trace-time numpy
+constants.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from flair_for_aigle_tpu.models.layers import (
+    MLP,
+    TorchConv,
+    TorchLayerNorm,
+    TorchLinear,
+)
+
+
+@lru_cache(maxsize=None)
+def _relative_position_index(wh: int, ww: int, table_w: int) -> np.ndarray:
+    """Index into a bias table built for ``table_w`` using an actual window
+    (wh, ww) ≤ table_w — lets small inputs reuse the pretrained table."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    coords = coords.reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += table_w - 1
+    rel[:, :, 1] += table_w - 1
+    rel[:, :, 0] *= 2 * table_w - 1
+    return rel.sum(-1)  # (wh*ww, wh*ww)
+
+
+@lru_cache(maxsize=None)
+def _shift_attn_mask(h: int, w: int, ws: int, ss: int) -> np.ndarray | None:
+    """Attention mask for shifted windows; None when no shift."""
+    if ss == 0:
+        return None
+    img_mask = np.zeros((h, w))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+            img_mask[hs, wsl] = cnt
+            cnt += 1
+    mw = img_mask.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
+    mw = mw.reshape(-1, ws * ws)
+    attn_mask = mw[:, None, :] - mw[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)  # (nW, T, T)
+
+
+def window_partition(x: jax.Array, ws: int) -> jax.Array:
+    """(B, H, W, C) -> (B*nW, ws*ws, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(x: jax.Array, ws: int, h: int, w: int) -> jax.Array:
+    """(B*nW, ws*ws, C) -> (B, H, W, C)."""
+    c = x.shape[-1]
+    x = x.reshape(-1, h // ws, w // ws, ws, ws, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(-1, h, w, c)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    table_window: int  # window size the bias table was built for
+    window_size: tuple[int, int]  # actual (clamped) window
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: np.ndarray | None) -> jax.Array:
+        bnw, t, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        wh, ww = self.window_size
+        tw = self.table_window
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * tw - 1) * (2 * tw - 1), nh),
+        )
+        qkv = TorchLinear(3 * c, name="qkv")(x)
+        qkv = qkv.reshape(bnw, t, 3, nh, hd)
+        q, k, v = (
+            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
+        )  # (bnw, nh, t, hd)
+        q = q * (hd ** -0.5)
+        attn = jnp.einsum(
+            "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+        )
+        idx = _relative_position_index(wh, ww, tw).reshape(-1)
+        bias = table[jnp.asarray(idx)].reshape(t, t, nh)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(-1, nw, nh, t, t) + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(bnw, nh, t, t)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhts,bhsd->bhtd", attn, v, preferred_element_type=jnp.float32)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bnw, t, c).astype(x.dtype)
+        return TorchLinear(c, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: bool
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        # timm _calc_window_shift: window clamps to the feature size, and the
+        # shift disables when the feature fits in one window.
+        ws = min(self.window_size, h, w)
+        ss = ws // 2 if (self.shift and min(h, w) > ws) else 0
+
+        shortcut = x
+        y = TorchLayerNorm(name="norm1")(x)
+        if ss:
+            y = jnp.roll(y, (-ss, -ss), axis=(1, 2))
+        # timm: pad bottom/right to window multiples after the roll
+        pad_h = (ws - h % ws) % ws
+        pad_w = (ws - w % ws) % ws
+        if pad_h or pad_w:
+            y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
+        windows = window_partition(y, ws)
+        mask = _shift_attn_mask(hp, wp, ws, ss)
+        attn = WindowAttention(
+            self.dim, self.num_heads, self.window_size, (ws, ws), name="attn"
+        )(windows, mask)
+        y = window_reverse(attn, ws, hp, wp)
+        if pad_h or pad_w:
+            y = y[:, :h, :w, :]
+        if ss:
+            y = jnp.roll(y, (ss, ss), axis=(1, 2))
+        x = shortcut + y
+        y = TorchLayerNorm(name="norm2")(x)
+        x = x + MLP(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(y)
+        return x
+
+
+class PatchMerging(nn.Module):
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+            b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        # timm order: flatten over (w_sub, h_sub) -> [x00, x10, x01, x11]
+        x = jnp.transpose(x, (0, 1, 3, 4, 2, 5)).reshape(b, h // 2, w // 2, 4 * c)
+        x = TorchLayerNorm(name="norm")(x)
+        return TorchLinear(self.out_dim, use_bias=False, name="reduction")(x)
+
+
+class SwinTransformerEncoder(nn.Module):
+    """timm-1.x Swin; smp-TimmUniversalEncoder-style 6-feature output."""
+
+    in_channels: int = 3
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window_size: int = 12
+    patch_size: int = 4
+
+    @property
+    def out_channels(self) -> tuple[int, ...]:
+        dims = [self.embed_dim * (2 ** i) for i in range(len(self.depths))]
+        return (self.in_channels, 0, *dims)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
+        b, h, w, _ = x.shape
+        feats: list[jax.Array] = [x]
+        # zero-channel dummy at stride 2 (smp TimmUniversalEncoder convention
+        # for backbones with no stride-2 feature; reference flair_model.py:303)
+        feats.append(jnp.zeros((b, h // 2, w // 2, 0), x.dtype))
+
+        y = TorchConv(
+            self.embed_dim, self.patch_size, self.patch_size, 0,
+            name="patch_embed.proj",
+        )(x)
+        y = TorchLayerNorm(name="patch_embed.norm")(y)
+
+        for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            dim = self.embed_dim * (2 ** i)
+            if i > 0:
+                y = PatchMerging(dim, name=f"layers.{i}.downsample")(y)
+            for j in range(depth):
+                y = SwinBlock(
+                    dim=dim,
+                    num_heads=heads,
+                    window_size=self.window_size,
+                    shift=(j % 2 == 1),
+                    name=f"layers.{i}.blocks.{j}",
+                )(y)
+            feats.append(y)
+        return feats

@@ -1,0 +1,287 @@
+"""Independent PyTorch reference implementations used ONLY by tests.
+
+These mirror the torchvision/smp architectures (and their state-dict naming)
+so we can validate that our flax models + checkpoint converter reproduce the
+numerics of torch checkpoints, without torchvision/smp being installed.
+"""
+
+from __future__ import annotations
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class TBasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout)
+            )
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return F.relu(out + idt)
+
+
+class TResNet34Encoder(nn.Module):
+    """torchvision resnet34 layout, smp-encoder forward (6 features)."""
+
+    def __init__(self, in_channels=3):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+
+        def make_layer(cin, cout, n, stride):
+            blocks = [TBasicBlock(cin, cout, stride)]
+            blocks += [TBasicBlock(cout, cout) for _ in range(n - 1)]
+            return nn.Sequential(*blocks)
+
+        self.layer1 = make_layer(64, 64, 3, 1)
+        self.layer2 = make_layer(64, 128, 4, 2)
+        self.layer3 = make_layer(128, 256, 6, 2)
+        self.layer4 = make_layer(256, 512, 3, 2)
+        self.out_channels = (in_channels, 64, 64, 128, 256, 512)
+
+    def forward(self, x):
+        feats = [x]
+        x = F.relu(self.bn1(self.conv1(x)))
+        feats.append(x)
+        x = self.layer1(self.maxpool(x))
+        feats.append(x)
+        x = self.layer2(x)
+        feats.append(x)
+        x = self.layer3(x)
+        feats.append(x)
+        x = self.layer4(x)
+        feats.append(x)
+        return feats
+
+
+class TConv2dReLU(nn.Sequential):
+    def __init__(self, cin, cout):
+        super().__init__(
+            nn.Conv2d(cin, cout, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(inplace=True),
+        )
+
+
+class TUnetDecoderBlock(nn.Module):
+    def __init__(self, cin, cskip, cout):
+        super().__init__()
+        self.conv1 = TConv2dReLU(cin + cskip, cout)
+        self.conv2 = TConv2dReLU(cout, cout)
+
+    def forward(self, x, skip=None):
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        if skip is not None:
+            x = torch.cat([x, skip], dim=1)
+        return self.conv2(self.conv1(x))
+
+
+class TUnetDecoder(nn.Module):
+    """smp UnetDecoder layout for encoder depth 5."""
+
+    def __init__(self, encoder_channels, decoder_channels=(256, 128, 64, 32, 16)):
+        super().__init__()
+        enc = list(encoder_channels[1:])[::-1]
+        head = enc[0]
+        skips = enc[1:] + [0]
+        ins = [head] + list(decoder_channels[:-1])
+        self.blocks = nn.ModuleList(
+            [TUnetDecoderBlock(i, s, o) for i, s, o in zip(ins, skips, decoder_channels)]
+        )
+
+    def forward(self, *features):
+        feats = list(features[1:])[::-1]
+        x = feats[0]
+        skips = feats[1:]
+        for i, b in enumerate(self.blocks):
+            x = b(x, skips[i] if i < len(skips) else None)
+        return x
+
+
+class TSegmentationHead(nn.Sequential):
+    def __init__(self, cin, classes, kernel_size=3):
+        super().__init__(nn.Conv2d(cin, classes, kernel_size, padding=kernel_size // 2))
+
+
+class TUnetResNet34(nn.Module):
+    """smp ``Unet(encoder_name='resnet34')`` equivalent: encoder/decoder/head."""
+
+    def __init__(self, in_channels=3, classes=19):
+        super().__init__()
+        self.encoder = TResNet34Encoder(in_channels)
+        self.decoder = TUnetDecoder(self.encoder.out_channels)
+        self.segmentation_head = TSegmentationHead(16, classes)
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder(x)))
+
+
+# ---------------------------------------------------------------------------
+# Swin Transformer v1 (timm 1.x layout) reference
+# ---------------------------------------------------------------------------
+
+
+def _t_rel_pos_index(ws, table_w=None):
+    table_w = table_w or ws
+    coords = torch.stack(torch.meshgrid(torch.arange(ws), torch.arange(ws), indexing="ij"))
+    coords = coords.flatten(1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += table_w - 1
+    rel[:, :, 1] += table_w - 1
+    rel[:, :, 0] *= 2 * table_w - 1
+    return rel.sum(-1)
+
+
+def _t_window_partition(x, ws):
+    B, H, W, C = x.shape
+    x = x.view(B, H // ws, ws, W // ws, ws, C)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+
+
+def _t_window_reverse(x, ws, H, W):
+    C = x.shape[-1]
+    x = x.view(-1, H // ws, W // ws, ws, ws, C)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, H, W, C)
+
+
+class TWindowAttention(nn.Module):
+    def __init__(self, dim, num_heads, ws):
+        super().__init__()
+        self.num_heads = num_heads
+        self.ws = ws
+        self.scale = (dim // num_heads) ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=True)
+        self.proj = nn.Linear(dim, dim)
+        self.relative_position_bias_table = nn.Parameter(
+            torch.randn((2 * ws - 1) ** 2, num_heads) * 0.02
+        )
+    def forward(self, x, mask=None):
+        B_, N, C = x.shape
+        wa = int(N ** 0.5)
+        rpi = _t_rel_pos_index(wa, self.ws)
+        qkv = self.qkv(x).reshape(B_, N, 3, self.num_heads, C // self.num_heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
+        q = q * self.scale
+        attn = q @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[rpi.view(-1)].view(
+            N, N, -1
+        ).permute(2, 0, 1)
+        attn = attn + bias.unsqueeze(0)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.view(B_ // nW, nW, self.num_heads, N, N) + mask[None, :, None]
+            attn = attn.view(-1, self.num_heads, N, N)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B_, N, C)
+        return self.proj(x)
+
+
+class TSwinBlock(nn.Module):
+    def __init__(self, dim, num_heads, ws, shift):
+        super().__init__()
+        self.dim, self.ws_target, self.shift_flag = dim, ws, shift
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = TWindowAttention(dim, num_heads, ws)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = nn.Sequential()
+        self.mlp.fc1 = nn.Linear(dim, dim * 4)
+        self.mlp.fc2 = nn.Linear(dim * 4, dim)
+
+    def forward(self, x):  # (B, H, W, C)
+        B, H, W, C = x.shape
+        ws = min(self.ws_target, H, W)
+        ss = ws // 2 if (self.shift_flag and min(H, W) > ws) else 0
+        shortcut = x
+        y = self.norm1(x)
+        if ss:
+            y = torch.roll(y, (-ss, -ss), dims=(1, 2))
+        pad_h = (ws - H % ws) % ws
+        pad_w = (ws - W % ws) % ws
+        if pad_h or pad_w:
+            y = F.pad(y, (0, 0, 0, pad_w, 0, pad_h))
+        Hp, Wp = H + pad_h, W + pad_w
+        windows = _t_window_partition(y, ws)
+        mask = None
+        if ss:
+            img_mask = torch.zeros(Hp, Wp)
+            cnt = 0
+            for hs in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+                for wsl in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+                    img_mask[hs, wsl] = cnt
+                    cnt += 1
+            mw = img_mask.view(Hp // ws, ws, Wp // ws, ws).permute(0, 2, 1, 3).reshape(-1, ws * ws)
+            mask = mw[:, None, :] - mw[:, :, None]
+            mask = torch.where(mask != 0, torch.tensor(-100.0), torch.tensor(0.0))
+        aw = self.attn(windows, mask)
+        y = _t_window_reverse(aw, ws, Hp, Wp)
+        y = y[:, :H, :W, :]
+        if ss:
+            y = torch.roll(y, (ss, ss), dims=(1, 2))
+        x = shortcut + y
+        y = self.norm2(x)
+        y = self.mlp.fc2(F.gelu(self.mlp.fc1(y)))
+        return x + y
+
+
+class TPatchMerging(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.norm = nn.LayerNorm(4 * dim)
+        self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+
+    def forward(self, x):  # (B, H, W, C)
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:
+            x = F.pad(x, (0, 0, 0, W % 2, 0, H % 2))
+            B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C).permute(0, 1, 3, 4, 2, 5).flatten(3)
+        return self.reduction(self.norm(x))
+
+
+class TSwinEncoder(nn.Module):
+    """timm-1.x-style swin; smp TimmUniversalEncoder feature output."""
+
+    def __init__(self, in_channels=3, embed_dim=32, depths=(2, 2, 2, 2),
+                 num_heads=(2, 4, 8, 16), ws=4):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(in_channels, embed_dim, 4, 4)
+        self.patch_embed.norm = nn.LayerNorm(embed_dim)
+        self.layers = nn.ModuleList()
+        for i, (d, h) in enumerate(zip(depths, num_heads)):
+            dim = embed_dim * 2 ** i
+            layer = nn.Module()
+            if i > 0:
+                layer.downsample = TPatchMerging(dim // 2)
+            layer.blocks = nn.ModuleList(
+                [TSwinBlock(dim, h, ws, shift=(j % 2 == 1)) for j in range(d)]
+            )
+            self.layers.append(layer)
+
+    def forward(self, x):  # NCHW in, list of NCHW features out
+        feats = [x]
+        B, C, H, W = x.shape
+        feats.append(torch.zeros(B, 0, H // 2, W // 2))
+        y = self.patch_embed.proj(x).permute(0, 2, 3, 1)
+        y = self.patch_embed.norm(y)
+        for layer in self.layers:
+            if hasattr(layer, "downsample"):
+                y = layer.downsample(y)
+            for blk in layer.blocks:
+                y = blk(y)
+            feats.append(y.permute(0, 3, 1, 2))
+        return feats
