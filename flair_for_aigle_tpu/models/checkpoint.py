@@ -124,9 +124,7 @@ def convert_torch_state_dict(
         for path, leaf in flat.items():
             tkey = torch_key_for(path)
             if tkey in state_dict:
-                is_tc = any(
-                    ".".join(path).startswith(p) for p in transpose_conv_prefixes
-                )
+                is_tc = any(p in ".".join(path) for p in transpose_conv_prefixes)
                 imported = _import_leaf(
                     state_dict[tkey], np.shape(leaf), is_tc, path[-1]
                 )
@@ -165,7 +163,7 @@ def export_torch_state_dict(
             v = np.asarray(leaf)
             key = torch_key_for(path)
             if v.ndim == 4:
-                if any(".".join(path).startswith(p) for p in transpose_conv_prefixes):
+                if any(p in ".".join(path) for p in transpose_conv_prefixes):
                     v = np.transpose(v, (2, 3, 0, 1))[:, :, ::-1, ::-1]
                 else:
                     v = np.transpose(v, (3, 2, 0, 1))

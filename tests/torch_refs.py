@@ -285,3 +285,232 @@ class TSwinEncoder(nn.Module):
                 y = blk(y)
             feats.append(y.permute(0, 3, 1, 2))
         return feats
+
+
+# ---------------------------------------------------------------------------
+# U-TAE reference (independent implementation of the utae-paps architecture)
+# ---------------------------------------------------------------------------
+import numpy as np
+
+
+class TConvLayer(nn.Module):
+    def __init__(self, nkernels, norm="batch", k=3, s=1, p=1, n_groups=4,
+                 last_relu=True, padding_mode="reflect"):
+        super().__init__()
+        layers = []
+        if norm == "batch":
+            nl = nn.BatchNorm2d
+        elif norm == "instance":
+            nl = nn.InstanceNorm2d
+        elif norm == "group":
+            nl = lambda c: nn.GroupNorm(num_channels=c, num_groups=n_groups)
+        else:
+            nl = None
+        for i in range(len(nkernels) - 1):
+            layers.append(nn.Conv2d(nkernels[i], nkernels[i + 1], k, s, p,
+                                    padding_mode=padding_mode))
+            if nl is not None:
+                layers.append(nl(nkernels[i + 1]))
+            if last_relu or i < len(nkernels) - 2:
+                layers.append(nn.ReLU())
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class TShared(nn.Module):
+    def __init__(self, pad_value=None):
+        super().__init__()
+        self.pad_value = pad_value
+
+    def smart_forward(self, x):
+        if x.dim() == 4:
+            return self.forward(x)
+        b, t, c, h, w = x.shape
+        out = x.view(b * t, c, h, w)
+        if self.pad_value is not None:
+            pad_mask = (out == self.pad_value).all(-1).all(-1).all(-1)
+            res = self.forward(out)
+            res[pad_mask] = self.pad_value
+            out = res
+        else:
+            out = self.forward(out)
+        return out.view(b, t, *out.shape[1:])
+
+
+class TConvBlock(TShared):
+    def __init__(self, nkernels, pad_value=None, norm="batch", last_relu=True,
+                 padding_mode="reflect"):
+        super().__init__(pad_value)
+        self.conv = TConvLayer(nkernels, norm=norm, last_relu=last_relu,
+                               padding_mode=padding_mode)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class TDownConvBlock(TShared):
+    def __init__(self, d_in, d_out, k, s, p, pad_value=None, norm="batch",
+                 padding_mode="reflect"):
+        super().__init__(pad_value)
+        self.down = TConvLayer([d_in, d_in], norm, k, s, p, padding_mode=padding_mode)
+        self.conv1 = TConvLayer([d_in, d_out], norm, padding_mode=padding_mode)
+        self.conv2 = TConvLayer([d_out, d_out], norm, padding_mode=padding_mode)
+
+    def forward(self, x):
+        out = self.down(x)
+        out = self.conv1(out)
+        return out + self.conv2(out)
+
+
+class TUpConvBlock(nn.Module):
+    def __init__(self, d_in, d_out, k, s, p, d_skip=None, norm="batch",
+                 padding_mode="reflect"):
+        super().__init__()
+        d = d_out if d_skip is None else d_skip
+        self.skip_conv = nn.Sequential(nn.Conv2d(d, d, 1), nn.BatchNorm2d(d), nn.ReLU())
+        self.up = nn.Sequential(
+            nn.ConvTranspose2d(d_in, d_out, k, s, p), nn.BatchNorm2d(d_out), nn.ReLU()
+        )
+        self.conv1 = TConvLayer([d_out + d, d_out], norm, padding_mode=padding_mode)
+        self.conv2 = TConvLayer([d_out, d_out], norm, padding_mode=padding_mode)
+
+    def forward(self, x, skip):
+        out = self.up(x)
+        out = torch.cat([out, self.skip_conv(skip)], dim=1)
+        out = self.conv1(out)
+        return out + self.conv2(out)
+
+
+class TPositionalEncoder(nn.Module):
+    def __init__(self, d, T=1000, repeat=None):
+        super().__init__()
+        self.d, self.T, self.repeat = d, T, repeat
+        self.denom = torch.pow(
+            T, 2 * torch.div(torch.arange(d).float(), 2, rounding_mode="floor") / d
+        )
+
+    def forward(self, bp):
+        table = bp[:, :, None] / self.denom[None, None, :]
+        table[:, :, 0::2] = torch.sin(table[:, :, 0::2])
+        table[:, :, 1::2] = torch.cos(table[:, :, 1::2])
+        if self.repeat is not None:
+            table = torch.cat([table] * self.repeat, dim=-1)
+        return table
+
+
+class TLTAE2d(nn.Module):
+    def __init__(self, in_channels=128, n_head=16, d_k=4, mlp=(256, 128),
+                 dropout=0.2, d_model=256, T=1000):
+        super().__init__()
+        self.n_head, self.d_k, self.d_model = n_head, d_k, d_model
+        self.inconv = nn.Conv1d(in_channels, d_model, 1)
+        self.positional_encoder = TPositionalEncoder(d_model // n_head, T, repeat=n_head)
+        self.in_norm = nn.GroupNorm(n_head, in_channels)
+        self.out_norm = nn.GroupNorm(n_head, mlp[-1])
+        attn = nn.Module()
+        attn.Q = nn.Parameter(torch.randn(n_head, d_k) * np.sqrt(2.0 / d_k))
+        attn.fc1_k = nn.Linear(d_model, n_head * d_k)
+        self.attention_heads = attn
+        self.mlp = nn.Sequential(nn.Linear(mlp[0], mlp[1]), nn.BatchNorm1d(mlp[1]), nn.ReLU())
+        self.dropout = nn.Dropout(dropout)
+
+    def forward(self, x, batch_positions=None, pad_mask=None):
+        b, t, d, h, w = x.shape
+        nh, dk, dm = self.n_head, self.d_k, self.d_model
+        if pad_mask is not None:
+            pm = pad_mask.unsqueeze(-1).repeat(1, 1, h).unsqueeze(-1).repeat(1, 1, 1, w)
+            pm = pm.permute(0, 2, 3, 1).reshape(b * h * w, t)
+        out = x.permute(0, 3, 4, 1, 2).reshape(b * h * w, t, d)
+        out = self.in_norm(out.permute(0, 2, 1)).permute(0, 2, 1)
+        out = self.inconv(out.permute(0, 2, 1)).permute(0, 2, 1)
+        bp = batch_positions.unsqueeze(-1).repeat(1, 1, h).unsqueeze(-1).repeat(1, 1, 1, w)
+        bp = bp.permute(0, 2, 3, 1).reshape(b * h * w, t)
+        out = out + self.positional_encoder(bp)
+        # attention
+        q = self.attention_heads.Q  # (nh, dk)
+        k = self.attention_heads.fc1_k(out).view(b * h * w, t, nh, dk)
+        logits = torch.einsum("hd,nthd->nht", q, k) / np.sqrt(dk)
+        if pad_mask is not None:
+            logits = logits.masked_fill(pm[:, None, :], -1e3)
+        attn = torch.softmax(logits, dim=-1)
+        v = out.view(b * h * w, t, nh, dm // nh)
+        o = torch.einsum("nht,nthd->nhd", attn, v).reshape(b * h * w, dm)
+        o = self.dropout(self.mlp(o))
+        o = self.out_norm(o)
+        o = o.view(b, h, w, -1).permute(0, 3, 1, 2)
+        attn = attn.permute(1, 0, 2).reshape(nh, b, h, w, t).permute(0, 1, 4, 2, 3)
+        return o, attn
+
+
+class TTemporalAggregator(nn.Module):
+    def __init__(self, mode="att_group"):
+        super().__init__()
+        self.mode = mode
+
+    def forward(self, x, pad_mask=None, attn_mask=None):
+        use_mask = pad_mask is not None and pad_mask.any()
+        if self.mode == "att_group":
+            nh, b, t, h, w = attn_mask.shape
+            attn = attn_mask.reshape(nh * b, t, h, w)
+            if x.shape[-2] > w:
+                attn = nn.Upsample(size=x.shape[-2:], mode="bilinear",
+                                   align_corners=False)(attn)
+            else:
+                attn = nn.AvgPool2d(kernel_size=w // x.shape[-2])(attn)
+            attn = attn.view(nh, b, t, *x.shape[-2:])
+            if use_mask:
+                attn = attn * (~pad_mask).float()[None, :, :, None, None]
+            out = torch.stack(x.chunk(nh, dim=2))  # (nh, B, T, C/nh, H, W)
+            out = (attn[:, :, :, None, :, :] * out).sum(dim=2)
+            return torch.cat([g for g in out], dim=1)
+        if self.mode == "mean":
+            if use_mask:
+                out = x * (~pad_mask).float()[:, :, None, None, None]
+                return out.sum(1) / (~pad_mask).sum(1)[:, None, None, None]
+            return x.mean(1)
+        raise ValueError(self.mode)
+
+
+class TUTAE(nn.Module):
+    def __init__(self, input_dim, encoder_widths=(64, 64, 64, 128),
+                 decoder_widths=(32, 32, 64, 128), out_conv=(32, 20),
+                 str_conv_k=4, str_conv_s=2, str_conv_p=1, agg_mode="att_group",
+                 encoder_norm="group", n_head=16, d_model=256, d_k=4,
+                 pad_value=0, padding_mode="reflect"):
+        super().__init__()
+        ew, dw = list(encoder_widths), list(decoder_widths)
+        self.n_stages = len(ew)
+        self.pad_value = pad_value
+        self.in_conv = TConvBlock([input_dim, ew[0], ew[0]], pad_value,
+                                  encoder_norm, padding_mode=padding_mode)
+        self.down_blocks = nn.ModuleList(
+            TDownConvBlock(ew[i], ew[i + 1], str_conv_k, str_conv_s, str_conv_p,
+                           pad_value, encoder_norm, padding_mode)
+            for i in range(self.n_stages - 1)
+        )
+        self.up_blocks = nn.ModuleList(
+            TUpConvBlock(dw[i], dw[i - 1], str_conv_k, str_conv_s, str_conv_p,
+                         d_skip=ew[i - 1], norm="batch", padding_mode=padding_mode)
+            for i in range(self.n_stages - 1, 0, -1)
+        )
+        self.temporal_encoder = TLTAE2d(ew[-1], n_head=n_head, d_k=d_k,
+                                        mlp=(d_model, ew[-1]), d_model=d_model)
+        self.temporal_aggregator = TTemporalAggregator(agg_mode)
+        self.out_conv = TConvBlock([dw[0]] + list(out_conv), padding_mode=padding_mode)
+
+    def forward(self, x, batch_positions=None):
+        pad_mask = (x == self.pad_value).all(-1).all(-1).all(-1)
+        out = self.in_conv.smart_forward(x)
+        feature_maps = [out]
+        for blk in self.down_blocks:
+            out = blk.smart_forward(feature_maps[-1])
+            feature_maps.append(out)
+        out, att = self.temporal_encoder(feature_maps[-1], batch_positions, pad_mask)
+        maps = [out]
+        for i, blk in enumerate(self.up_blocks):
+            skip = self.temporal_aggregator(feature_maps[-(i + 2)], pad_mask, att)
+            out = blk(out, skip)
+            maps.append(out)
+        return self.out_conv(out), maps
