@@ -1,0 +1,456 @@
+"""Zonal inference engine: batched device inference + on-device stitching.
+
+TPU-native rebuild of /root/reference/flair_zonal_detection/inference.py.
+Pipeline per raster (SURVEY.md section 7 design):
+
+  host: overlap tiling -> windowed multimodal reads (thread-prefetched)
+  device (one jit): forward -> margin crop -> argmax/softmax-u8 ->
+                    optional nearest rescale -> scatter into uint8 canvas
+  host: single D2H of the canvas -> tiled LZW GeoTIFF (+ COG) -> polygons
+
+The reference instead wrote every tile from the host with rasterio windowed
+writes (inference.py:297-352). Canvas scatter preserves its last-write-wins
+ordering (sequential within batch, batches in order).
+
+Ported quirks (documented, SURVEY.md section 7):
+* reference_modality selection uses min() over resolutions — the FINEST
+  m/px, though the reference comment says coarsest (inference.py:114-115).
+* init_outputs keeps the reference's literal ``_i.tif`` suffix unless
+  ``raster_index`` is passed (filename bug, inference.py:177).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flair_for_aigle_tpu.geo import geos
+from flair_for_aigle_tpu.geo.geotiff import WindowedWriter, open_raster
+from flair_for_aigle_tpu.geo.gpkg import read_gpkg
+from flair_for_aigle_tpu.geo.polygonize import raster_to_polygons as _raster_to_polys
+from flair_for_aigle_tpu.geo.windows import Window, from_origin
+from flair_for_aigle_tpu.ops.pallas.stitch import stitch_tiles
+from flair_for_aigle_tpu.ops.resize import zoom_nearest
+from flair_for_aigle_tpu.zonal.config import (
+    config_recap_1,
+    config_recap_2,
+    load_config,
+    validate_config,
+)
+from flair_for_aigle_tpu.zonal.dataset import BatchedLoader, MultiModalSlicedDataset
+from flair_for_aigle_tpu.zonal.model_utils import (
+    build_inference_model,
+    compute_patch_sizes,
+)
+from flair_for_aigle_tpu.zonal.postprocess import convert
+from flair_for_aigle_tpu.zonal.slicing import generate_patches_from_reference
+
+logger = logging.getLogger(__name__)
+
+
+def overwrite_config(config, model_ckpt_path, model_threshold_filepath,
+                     result_folder, log_folder):
+    config["model_weights"] = model_ckpt_path
+    config["model_threshold_filepath"] = model_threshold_filepath
+    config["output_path"] = result_folder
+    config["log_folder"] = log_folder
+    return config
+
+
+def initialize_geometry_and_resolutions(config: Dict) -> Dict:
+    """Reference inference.py:76-132."""
+    modalities = config["modalities"]
+    active = [m for m, a in modalities["inputs"].items() if a]
+    resolutions, bounds = {}, []
+    for mod in active:
+        path = modalities[mod]["input_img_path"]
+        with open_raster(path) as src:
+            resolutions[mod] = round(src.res[0], 5)
+            bounds.append((mod, src.bounds))
+            if "image_shape_px" not in config:
+                config["image_shape_px"] = {
+                    "height": src.height, "width": src.width
+                }
+    ref_mod0, ref_bounds = bounds[0]
+    for mod, b in bounds[1:]:
+        if not np.allclose(list(b), list(ref_bounds), atol=1e-2):
+            raise ValueError(
+                f"Bounds mismatch between '{ref_mod0}' and '{mod}': "
+                f"{list(ref_bounds)} vs {list(b)}"
+            )
+    # quirk-compat: min() picks the FINEST resolution (reference :114-115)
+    ref_mod, reference_resolution = min(resolutions.items(), key=lambda x: x[1])
+    config["reference_modality"] = ref_mod
+    config["reference_resolution"] = reference_resolution
+    config["modality_resolutions"] = resolutions
+    config["image_bounds"] = {
+        "left": ref_bounds.left, "bottom": ref_bounds.bottom,
+        "right": ref_bounds.right, "top": ref_bounds.top,
+    }
+    config["tile_size_m"] = round(
+        config["img_pixels_detection"] * reference_resolution, 2
+    )
+    config["margin_size_m"] = round(config["margin"] * reference_resolution, 2)
+    return config
+
+
+def prep_config(config_path: str, model_ckpt_path=None,
+                model_threshold_filepath=None, result_folder=None,
+                log_folder=None, images_folder=None) -> Dict:
+    """Reference inference.py:54-73 (aigle overwrite path optional)."""
+    config = load_config(config_path) if isinstance(config_path, str) else config_path
+    if images_folder:
+        rasters = sorted(
+            p for p in os.listdir(images_folder)
+            if p.lower().endswith((".tif", ".tiff", ".jp2"))
+        )
+        if rasters:
+            config["modalities"]["AERIAL_RGBI"]["input_img_path"] = os.path.join(
+                images_folder, rasters[0]
+            )
+    if model_ckpt_path is not None:
+        config = overwrite_config(config, model_ckpt_path,
+                                  model_threshold_filepath, result_folder,
+                                  log_folder)
+    validate_config(config)
+    config_recap_1(config)
+    config = initialize_geometry_and_resolutions(config)
+    config_recap_2(config)
+    config["output_type"] = config.get("output_type", "argmax")
+    return config
+
+
+def prep_dataset(config: Dict, tiles, patch_sizes: Dict[str, int]
+                 ) -> MultiModalSlicedDataset:
+    active = [m for m, a in config["modalities"]["inputs"].items() if a]
+    modality_cfgs = {m: config["modalities"][m] for m in active}
+    config["labels"] = [t["name"] for t in config["tasks"] if t["active"]]
+    config["labels_configs"] = {
+        t["name"]: {"value_name": (list(t["class_names"].values())
+                                   if isinstance(t["class_names"], dict)
+                                   else list(t["class_names"]))}
+        for t in config["tasks"] if t["active"]
+    }
+    return MultiModalSlicedDataset(
+        tiles=tiles,
+        modality_cfgs=modality_cfgs,
+        patch_size_dict=patch_sizes,
+        ref_date_str=config.get("multitemp_model_ref_date", "01-01"),
+        modalities_config=config,
+        fixed_t=config.get("fixed_time_steps"),
+    )
+
+
+def init_outputs(config: Dict, ref_img, raster_index=None):
+    """Create one canvas-backed writer per active task (inference.py:157-208)."""
+    output_files, temp_paths = {}, {}
+    output_type = config["output_type"]
+    ref_res = config["reference_resolution"]
+    out_res = config.get("output_px_meters", ref_res)
+    image_bounds = config["image_bounds"]
+    needs_rescale = abs(ref_res - out_res) > 1e-6
+    suffix = "argmax" if output_type == "argmax" else "class-prob"
+    idx_part = f"_{raster_index}" if raster_index is not None else "_i"
+
+    for task in config["tasks"]:
+        if not task["active"]:
+            continue
+        num_classes = len(task["class_names"])
+        out_path = os.path.join(
+            config["output_path"],
+            f"{config['output_name']}_{task['name']}_{suffix}{idx_part}.tif",
+        )
+        if not needs_rescale:
+            height, width = ref_img.height, ref_img.width
+            transform = ref_img.transform
+        else:
+            height = int(round((image_bounds["top"] - image_bounds["bottom"]) / out_res))
+            width = int(round((image_bounds["right"] - image_bounds["left"]) / out_res))
+            transform = from_origin(image_bounds["left"], image_bounds["top"],
+                                    out_res, out_res)
+        count = num_classes if output_type == "class_prob" else 1
+        output_files[task["name"]] = WindowedWriter(
+            out_path, width, height, count, np.uint8, transform, ref_img.crs,
+            compress="lzw",
+        )
+        temp_paths[task["name"]] = out_path
+    return output_files, temp_paths
+
+
+def resample_prediction(prediction: np.ndarray, scale: float) -> np.ndarray:
+    """Reference inference.py:212-226 (scipy zoom order-0 semantics)."""
+    return np.asarray(zoom_nearest(np.asarray(prediction), scale))
+
+
+def load_geozone_contour(config) -> list:
+    """Reference inference.py:229-252: cached geozone file filtered by
+    iso_code (PostGIS fallback is out of scope without a DB driver; a clear
+    error is raised when the cache file is absent)."""
+    shp = os.path.join(
+        getattr(config, "db_sources", "."), os.getenv("GEOZONES_SHAPEFILE", "")
+    )
+    if not os.path.exists(shp):
+        raise FileNotFoundError(
+            f"Geozones cache file not found: {shp} (PostGIS fallback requires "
+            "a database driver; provide the cached geozones GPKG)"
+        )
+    records, crs = read_gpkg(shp)
+    code = getattr(config, "geozones_codes", "all")
+    out = []
+    for rec in records:
+        if code in ("all", None) or str(rec.get("iso_code")) in str(code).split(","):
+            geom = rec["geometry"]
+            input_crs = getattr(config, "input_crs", crs)
+            if input_crs and crs and input_crs != crs:
+                from flair_for_aigle_tpu.geo.crs import transform_geometry
+                geom = transform_geometry(geom, crs, input_crs)
+            out.append(geom)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device pipeline
+# ---------------------------------------------------------------------------
+
+
+def make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
+                    n_classes: Dict[str, int], scale_num: int, scale_den: int,
+                    compute_dtype=jnp.float32):
+    """Build the jit'd batch step: forward -> crop -> convert -> rescale.
+
+    Returns tiles_u8 dict {task: (B, C_or_1, th, tw) uint8}. The nearest
+    rescale uses a static integer ratio grid identical to scipy zoom
+    order-0 on the cropped tile.
+    """
+
+    inner = tile_size - 2 * margin_px
+
+    def _maybe_rescale_idx():
+        if scale_num == scale_den:
+            return None
+        out_size = int(round(inner * scale_num / scale_den))
+        if out_size <= 1 or inner <= 1:
+            idx = np.zeros(out_size, np.int64)
+        else:
+            src = np.arange(out_size) * (inner - 1) / (out_size - 1)
+            idx = np.clip(np.round(src).astype(np.int64), 0, inner - 1)
+        return jnp.asarray(idx)
+
+    rescale_idx = _maybe_rescale_idx()
+
+    @jax.jit
+    def step(variables, batch):
+        cast = {
+            k: (v.astype(compute_dtype)
+                if isinstance(v, jnp.ndarray) and v.dtype == jnp.float32
+                and not k.endswith("_DATES") else v)
+            for k, v in batch.items()
+        }
+        logits_tasks, _ = model.apply(variables, cast)
+        out = {}
+        for task, logits in logits_tasks.items():
+            lg = logits[:, :, margin_px:tile_size - margin_px,
+                        margin_px:tile_size - margin_px].astype(jnp.float32)
+            if output_type == "argmax":
+                pred = jnp.argmax(lg, axis=1).astype(jnp.uint8)[:, None]
+            else:
+                probs = jax.nn.softmax(lg, axis=1)
+                pred = jnp.round(probs * 255).astype(jnp.uint8)
+            if rescale_idx is not None:
+                pred = jnp.take(pred, rescale_idx, axis=-2)
+                pred = jnp.take(pred, rescale_idx, axis=-1)
+            out[task] = pred
+        return out
+
+    return step
+
+
+def inference_and_write(model, variables, dataloader, tiles, config: Dict,
+                        output_files: Dict[str, WindowedWriter], ref_img) -> None:
+    """Run batched inference, stitch on device, land each canvas once."""
+    margin_px = config["margin"]
+    tile_size = config["img_pixels_detection"]
+    output_type = config["output_type"]
+    ref_res = config["reference_resolution"]
+    out_res = config.get("output_px_meters", ref_res)
+    needs_rescale = abs(ref_res - out_res) > 1e-6
+    image_bounds = {
+        "left": ref_img.bounds.left, "bottom": ref_img.bounds.bottom,
+        "right": ref_img.bounds.right, "top": ref_img.bounds.top,
+    }
+    # static rational scale for the device-side rescale grid
+    scale_den, scale_num = 1000000, int(round(1000000 * ref_res / out_res))
+    if not needs_rescale:
+        scale_num = scale_den
+
+    tasks = list(output_files.keys())
+    n_classes = {t: output_files[t].count for t in tasks}
+    step = make_infer_step(
+        model, output_type, margin_px, tile_size, n_classes,
+        scale_num, scale_den,
+        compute_dtype=jnp.bfloat16 if config.get("compute_dtype") == "bfloat16"
+        else jnp.float32,
+    )
+
+    inner = tile_size - 2 * margin_px
+    th = int(round(inner * scale_num / scale_den)) if needs_rescale else inner
+
+    # device canvases padded by one tile each side so every scatter is in-bounds
+    canvases = {}
+    for t in tasks:
+        w = output_files[t]
+        canvases[t] = jnp.zeros((w.count, w.height + th, w.width + th), jnp.uint8)
+
+    img_h = {t: output_files[t].height for t in tasks}
+    img_w = {t: output_files[t].width for t in tasks}
+
+    logger.info("[ ] Starting inference and on-device stitching ...")
+    for batch in dataloader:
+        valid = batch.pop("valid")
+        indices = np.asarray(batch["index"]).reshape(-1)
+        jb = {
+            k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray) and k != "index"
+        }
+        preds = step(variables, jb)
+
+        # offsets identical for all tasks (shared grid)
+        offs = np.zeros((len(indices), 2), np.int32)
+        for i, idx in enumerate(indices):
+            row = tiles[int(idx)]
+            if i >= valid:
+                offs[i] = (img_h[tasks[0]], img_w[tasks[0]])  # padded area
+                continue
+            left_px = int(round((row["left"] - image_bounds["left"]) / out_res))
+            top_px = int(round((image_bounds["top"] - row["top"]) / out_res))
+            offs[i] = (top_px, left_px)
+        offs_j = jnp.asarray(offs)
+        for t in tasks:
+            canvases[t] = stitch_tiles(canvases[t], preds[t], offs_j)
+
+    for t in tasks:
+        canvas = np.asarray(jax.device_get(canvases[t]))
+        canvas = canvas[:, : img_h[t], : img_w[t]]
+        w = output_files[t]
+        w.canvas[...] = canvas
+        w.close()
+    logger.info("[ok] canvases written")
+
+
+# ---------------------------------------------------------------------------
+# Vectorization entry points (reference parity surface)
+# ---------------------------------------------------------------------------
+
+
+def raster_to_polygons(output_files, ignore_background=True, background_value=18,
+                       min_area=1.0, simplification=0.1, n_jobs=None):
+    """Reference raster_to_polygons (inference.py:377-413): reads the
+    written raster for the first task and vectorizes per class. Accepts the
+    dict of writers (reference passes ``output_files``) or a path."""
+    if isinstance(output_files, dict):
+        first = next(iter(output_files.values()))
+        path = first.path
+    else:
+        path = output_files
+    with open_raster(path) as src:
+        data = src.read(1)
+        transform = src.transform
+        crs = src.crs
+    polys = _raster_to_polys(
+        data, transform, ignore_background=ignore_background,
+        background_value=background_value, min_area=min_area,
+        simplification=simplification, n_jobs=n_jobs,
+    )
+    for p in polys:
+        p["crs"] = crs
+    return polys
+
+
+def logits_to_labels_and_confidence(probs: np.ndarray):
+    labels = np.argmax(probs, axis=0).astype(np.uint8)
+    confidence = np.max(probs, axis=0)
+    return labels, confidence
+
+
+def vectorize_segmentation(labels, confidence, transform, crs="EPSG:5490",
+                           simplification_tolerance=1.0, min_area=0.0):
+    """Reference inference.py:574-595: polygons with mean confidence."""
+    out = []
+    for cls in np.unique(labels):
+        if cls == 0:
+            continue
+        mask_mean = float(confidence[labels == cls].mean())
+        from flair_for_aigle_tpu.geo.polygonize import polygons_for_class
+        for poly in polygons_for_class(labels, int(cls), transform,
+                                       min_area=min_area,
+                                       simplification=simplification_tolerance):
+            out.append({"geometry": poly, "class_id": int(cls),
+                        "confidence": mask_mean, "crs": crs})
+    return out
+
+
+def postpro_outputs(temp_paths: Dict[str, str], config: Dict) -> None:
+    if config.get("cog_conversion", False):
+        from flair_for_aigle_tpu.geo.geotiff import convert_to_cog
+
+        for task_name, temp_path in temp_paths.items():
+            cog_path = temp_path.replace(".tif", "_COG.tif")
+            convert_to_cog(temp_path, cog_path)
+            temp_paths[task_name] = cog_path
+            logger.info("[ok] Converted to COG: %s", cog_path)
+
+
+def run_inference(config_path: str) -> Dict[str, str]:
+    """Standalone zonal entry point (reference inference.py:644-674)."""
+    start_total = time.time()
+    config = prep_config(config_path)
+
+    start_slice = time.time()
+    tiles = generate_patches_from_reference(config)
+    logger.info("[ok] Sliced into %d tiles in %.2fs", len(tiles),
+                time.time() - start_slice)
+
+    start_model = time.time()
+    patch_sizes = compute_patch_sizes(config)
+    # labels/labels_configs needed before model build
+    config["labels"] = [t["name"] for t in config["tasks"] if t["active"]]
+    config["labels_configs"] = {
+        t["name"]: {"value_name": (list(t["class_names"].values())
+                                   if isinstance(t["class_names"], dict)
+                                   else list(t["class_names"]))}
+        for t in config["tasks"] if t["active"]
+    }
+    model, variables, model_cfg = build_inference_model(
+        config, patch_sizes, batch_size=config.get("batch_size", 8),
+        t_steps=config.get("fixed_time_steps", 4),
+    )
+    logger.info("[ok] Loaded model and checkpoint in %.2fs",
+                time.time() - start_model)
+
+    dataset = prep_dataset(config, tiles, patch_sizes)
+    dataloader = BatchedLoader(dataset, batch_size=config.get("batch_size", 8),
+                               num_workers=config.get("num_worker", 1))
+
+    ref_img = open_raster(
+        config["modalities"][config["reference_modality"]]["input_img_path"]
+    )
+    output_files, temp_paths = init_outputs(config, ref_img)
+
+    start_inf = time.time()
+    inference_and_write(model, variables, dataloader, tiles, config,
+                        output_files, ref_img)
+    logger.info("[ok] Inference completed in %.2fs", time.time() - start_inf)
+
+    postpro_outputs(temp_paths, config)
+    logger.info("[ok] Total time: %.2fs", time.time() - start_total)
+    logger.info("[ok] Rasters written to: %s", list(temp_paths.values()))
+    ref_img.close()
+    dataset.close()
+    return temp_paths

@@ -1,0 +1,200 @@
+"""Zonal engine end-to-end: slicing math, on-device stitch parity with a
+host reference loop, full run_inference on a synthetic GeoTIFF."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from flair_for_aigle_tpu.geo.geotiff import open_raster, write_geotiff
+from flair_for_aigle_tpu.geo.windows import Window, from_origin
+from flair_for_aigle_tpu.models.checkpoint import export_torch_state_dict
+from flair_for_aigle_tpu.ops.pallas.stitch import stitch_tiles
+from flair_for_aigle_tpu.zonal.inference import run_inference
+from flair_for_aigle_tpu.zonal.slicing import generate_patches_from_reference
+
+RES = 0.5
+PATCH = 64
+MARGIN = 8
+
+
+def make_raster(path, width=96, height=96, bands=3, seed=0):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (bands, height, width)).astype(np.uint8)
+    write_geotiff(path, arr, from_origin(10000.0, 20000.0, RES, RES),
+                  "EPSG:2154")
+    return arr
+
+
+def make_zonal_config(tmp_path, img_path, n_classes=5, output_type="argmax",
+                      out_res=RES):
+    weights = str(tmp_path / "w.safetensors")
+    # random-weight checkpoint in reference torch layout, via our exporter
+    from flair_for_aigle_tpu.zonal.model_utils import (
+        build_inference_model,
+        prepare_model_config,
+    )
+    cfg = {
+        "output_path": str(tmp_path / "out"),
+        "output_name": "test_zonal",
+        "write_dataframe": False,
+        "output_type": output_type,
+        "cog_conversion": False,
+        "model_weights": weights,
+        "batch_size": 2,
+        "num_worker": 1,
+        "img_pixels_detection": PATCH,
+        "margin": MARGIN,
+        "output_px_meters": out_res,
+        "monotemp_arch": "resnet18-unet",
+        "multitemp_model_ref_date": "05-15",
+        "modalities": {
+            "inputs": {
+                "AERIAL_RGBI": True, "AERIAL-RLT_PAN": False,
+                "DEM_ELEV": False, "SPOT_RGBI": False, "SENTINEL2_TS": False,
+                "SENTINEL1-ASC_TS": False, "SENTINEL1-DESC_TS": False,
+            },
+            "AERIAL_RGBI": {
+                "input_img_path": img_path,
+                "channels": [1, 2, 3],
+                "normalization": {"type": "custom",
+                                  "means": [105.0, 111.0, 102.0],
+                                  "stds": [52.0, 45.0, 44.0]},
+            },
+        },
+        "tasks": [
+            {"name": "AERIAL_LABEL-COSIA", "active": True,
+             "class_names": {i: f"c{i}" for i in range(n_classes)}},
+        ],
+    }
+    os.makedirs(cfg["output_path"], exist_ok=True)
+    # build a model with random weights and save them in torch layout
+    from safetensors.numpy import save_file
+
+    mc = prepare_model_config({**cfg, "model_weights": ""})
+    mc["labels"] = ["AERIAL_LABEL-COSIA"]
+    mc["labels_configs"] = {
+        "AERIAL_LABEL-COSIA": {"value_name": [f"c{i}" for i in range(n_classes)]}
+    }
+    from flair_for_aigle_tpu.models.flair_model import FlairHubModel
+    from flair_for_aigle_tpu.zonal.model_utils import example_batch_for
+
+    model = FlairHubModel(config=mc)
+    variables = model.init(
+        jax.random.key(7), example_batch_for(mc, {"AERIAL_RGBI": PATCH}, 1)
+    )
+    sd = export_torch_state_dict(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})}
+    )
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, weights)
+    return cfg
+
+
+def test_slicing_grid_covers_and_dedups(tmp_path):
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96)
+    cfg = {
+        "img_pixels_detection": PATCH, "margin": MARGIN,
+        "output_path": str(tmp_path), "output_name": "t",
+        "reference_modality": "AERIAL_RGBI", "reference_resolution": RES,
+        "modalities": {"AERIAL_RGBI": {"input_img_path": img}},
+    }
+    tiles = generate_patches_from_reference(cfg, img)
+    assert len(tiles) == 4  # 96px with 48px stride -> 2x2 after snapping
+    ids = {t["id"] for t in tiles}
+    assert len(ids) == 4
+    # inner bounds within the raster
+    for t in tiles:
+        assert t["right"] <= 10000.0 + 96 * RES + 1e-6
+        assert t["left"] >= 10000.0 - MARGIN * RES - 1e-6
+
+
+def test_stitch_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    canvas = np.zeros((1, 40, 50), np.uint8)
+    tiles = rng.integers(0, 255, (6, 1, 8, 8)).astype(np.uint8)
+    offs = rng.integers(0, 30, (6, 2)).astype(np.int32)
+    got = np.asarray(stitch_tiles(jnp.asarray(canvas), jnp.asarray(tiles),
+                                  jnp.asarray(offs)))
+    want = canvas.copy()
+    for i in range(6):
+        r, c = offs[i]
+        want[:, r:r + 8, c:c + 8] = tiles[i]
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("output_type", ["argmax", "class_prob"])
+def test_run_inference_end_to_end(tmp_path, output_type):
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96)
+    cfg = make_zonal_config(tmp_path, img, output_type=output_type)
+    temp_paths = run_inference(cfg)
+    out = temp_paths["AERIAL_LABEL-COSIA"]
+    assert os.path.exists(out)
+    with open_raster(out) as src:
+        assert (src.height, src.width) == (96, 96)
+        assert src.crs == "EPSG:2154"
+        assert abs(src.res[0] - RES) < 1e-9
+        data = src.read()
+    if output_type == "argmax":
+        assert data.shape == (1, 96, 96)
+        assert data.max() < 5
+    else:
+        assert data.shape == (5, 96, 96)
+        # softmax*255 sums to ~255 per pixel
+        sums = data.astype(int).sum(axis=0)
+        assert np.abs(sums - 255).max() <= 3
+
+
+def test_canvas_matches_host_reference_loop(tmp_path):
+    """Byte parity: on-device stitch vs the reference's host write loop."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96, seed=3)
+    cfg = make_zonal_config(tmp_path, img)
+    temp_paths = run_inference(cfg)
+    with open_raster(temp_paths["AERIAL_LABEL-COSIA"]) as src:
+        got = src.read(1)
+
+    # host reference loop, reusing the same model/variables via a fresh build
+    from flair_for_aigle_tpu.zonal.inference import (
+        initialize_geometry_and_resolutions,
+        prep_dataset,
+    )
+    from flair_for_aigle_tpu.zonal.model_utils import (
+        build_inference_model, compute_patch_sizes,
+    )
+    from flair_for_aigle_tpu.zonal.postprocess import convert
+    from flair_for_aigle_tpu.zonal.slicing import generate_patches_from_reference
+
+    config = dict(cfg)
+    config = initialize_geometry_and_resolutions(config)
+    config["output_type"] = "argmax"
+    tiles = generate_patches_from_reference(config)
+    patch_sizes = compute_patch_sizes(config)
+    config["labels"] = ["AERIAL_LABEL-COSIA"]
+    config["labels_configs"] = {
+        "AERIAL_LABEL-COSIA": {"value_name": [f"c{i}" for i in range(5)]}
+    }
+    model, variables, _ = build_inference_model(config, patch_sizes, 1)
+    ds = prep_dataset(config, tiles, patch_sizes)
+
+    want = np.zeros((96, 96), np.uint8)
+    ib = config["image_bounds"]
+    for i in range(len(ds)):
+        s = ds[i]
+        batch = {k: jnp.asarray(v)[None] for k, v in s.items()
+                 if k != "index"}
+        logits, _ = model.apply(variables, batch)
+        lg = np.asarray(logits["AERIAL_LABEL-COSIA"])[0]
+        patch = lg[:, MARGIN:PATCH - MARGIN, MARGIN:PATCH - MARGIN]
+        pred = convert(patch, "argmax")  # (1, h, w)
+        row = tiles[i]
+        left_px = int(round((row["left"] - ib["left"]) / RES))
+        top_px = int(round((ib["top"] - row["top"]) / RES))
+        h = min(pred.shape[-2], 96 - top_px)
+        w = min(pred.shape[-1], 96 - left_px)
+        want[top_px:top_px + h, left_px:left_px + w] = pred[0, :h, :w]
+    np.testing.assert_array_equal(got, want)
