@@ -287,7 +287,10 @@ def max_pool2d(
     kh, kw = _pair(kernel_size)
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
-    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # literal init value keeps the reduce-window max pattern differentiable
+    neg = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(
+        jnp.iinfo(x.dtype).min
+    )
     return lax.reduce_window(
         x,
         neg,

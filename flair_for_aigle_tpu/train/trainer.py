@@ -1,0 +1,298 @@
+"""Training / prediction drivers (reference flair_hub/tasks/trainers.py,
+Lightning Trainer replaced by an explicit jit loop over a device mesh).
+
+Features ported: ModelCheckpoint (monitor val_miou, top-1 + optional last,
+weights-only option), EarlyStopping, TensorBoard scalar logging
+(tf.summary), BatchNorm/batch-size-1 abort guard, resume-from-safetensors,
+final validate pass. Data parallelism: batches sharded over the mesh ``dp``
+axis (parallel/mesh.py); gradient all-reduce is compiled by XLA.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import sys
+from pathlib import Path
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flair_for_aigle_tpu.models.checkpoint import export_torch_state_dict
+from flair_for_aigle_tpu.parallel.dist import is_rank_zero
+from flair_for_aigle_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to,
+    replicate_tree,
+    shard_batch,
+)
+from flair_for_aigle_tpu.train.metrics import iou_from_confmat
+from flair_for_aigle_tpu.train.optim import make_optimizer, make_scheduler
+from flair_for_aigle_tpu.train.task import (
+    TrainState,
+    _array_batch,
+    make_steps,
+    set_learning_rate,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def check_batchnorm_and_batch_size(config: Dict[str, Any]) -> None:
+    """Reference trainers.py:17-32: abort on batch_size=1 (models carry
+    BatchNorm in decoders/UTAE)."""
+    if config["hyperparams"]["batch_size"] == 1 and config["tasks"].get("train"):
+        logger.info("Warning: BatchNorm layers with batch size 1.")
+        logger.info("Aborting training to avoid potential issues.")
+        sys.exit(1)
+
+
+class _TBWriter:
+    """TensorBoard scalar writer via tf.summary; no-op if TF unavailable."""
+
+    def __init__(self, logdir: str):
+        try:
+            import tensorflow as tf  # noqa: PLC0415
+
+            self._tf = tf
+            self._writer = tf.summary.create_file_writer(logdir)
+        except Exception:  # noqa: BLE001
+            self._tf = None
+            self._writer = None
+
+    def scalar(self, name: str, value: float, step: int):
+        if self._writer is not None:
+            with self._writer.as_default():
+                self._tf.summary.scalar(name, float(value), step=step)
+
+    def flush(self):
+        if self._writer is not None:
+            self._writer.flush()
+
+
+class CheckpointCallback:
+    """ModelCheckpoint + EarlyStopping equivalent."""
+
+    def __init__(self, config, out_dir):
+        saving = config["saving"]
+        self.monitor = saving.get("ckpt_monitor", "val_miou")
+        self.mode = saving.get("ckpt_monitor_mode", "max")
+        self.save_last = saving.get("ckpt_save_also_last", False)
+        self.patience = saving.get("ckpt_earlystopping_patience", 20)
+        self.dirpath = Path(out_dir, "checkpoints")
+        self.dirpath.mkdir(parents=True, exist_ok=True)
+        self.out_model_name = config["paths"]["out_model_name"]
+        self.best = -math.inf if self.mode == "max" else math.inf
+        self.best_model_path: str | None = None
+        self.bad_epochs = 0
+        self.should_stop = False
+
+    def _is_better(self, value):
+        return value > self.best if self.mode == "max" else value < self.best
+
+    def on_epoch_end(self, epoch, metrics, state) -> None:
+        value = metrics.get(self.monitor)
+        if value is None:
+            return
+        if self._is_better(value):
+            self.best = value
+            self.bad_epochs = 0
+            path = self.dirpath / (
+                f"ckpt-epoch{epoch:02d}-{self.monitor}{value:.4f}_"
+                f"{self.out_model_name}.safetensors"
+            )
+            if is_rank_zero():
+                save_state_safetensors(state, str(path))
+                if self.best_model_path and os.path.exists(self.best_model_path):
+                    os.remove(self.best_model_path)
+            self.best_model_path = str(path)
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs >= self.patience:
+                self.should_stop = True
+        if self.save_last and is_rank_zero():
+            save_state_safetensors(
+                state, str(self.dirpath / f"last_{self.out_model_name}.safetensors")
+            )
+
+
+def save_state_safetensors(state: TrainState, path: str) -> None:
+    """Persist weights in the reference's torch .safetensors layout (so our
+    checkpoints interoperate with the PyTorch reference and our loader)."""
+    from safetensors.numpy import save_file
+
+    sd = export_torch_state_dict(
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)},
+        transpose_conv_prefixes=(".up.0",),
+    )
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+
+
+def save_orbax_checkpoint(state: TrainState, path: str) -> None:
+    """Full training state (params + optimizer) via orbax for exact resume."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        os.path.abspath(path),
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats),
+         "step": int(state.step)},
+        force=True,
+    )
+
+
+def _epoch_metrics(confmats: Dict[str, np.ndarray], loss_sum, n_batches,
+                   prefix: str) -> Dict[str, float]:
+    out = {f"{prefix}_loss": float(loss_sum / max(n_batches, 1))}
+    mious = []
+    for task, cm in confmats.items():
+        per_class, weighted = iou_from_confmat(cm)
+        out[f"{prefix}_miou_{task.split('-')[-1]}"] = weighted
+        for i, v in enumerate(per_class):
+            out[f"{prefix}_iou_{task.split('-')[-1]}_{i}"] = float(v)
+        mious.append(weighted)
+    out[f"{prefix}_miou"] = float(np.mean(mious)) if mious else 0.0
+    return out
+
+
+def train(config: Dict[str, Any], data_module, model, variables,
+          out_dir: str, mesh=None, aux_loss_fix: bool = False
+          ) -> tuple[CheckpointCallback, TrainState]:
+    check_batchnorm_and_batch_size(config)
+    hp = config["hyperparams"]
+    batch_size = hp["batch_size"]
+    if mesh is None:
+        # dp size must divide the global batch
+        n_dev = len(jax.devices())
+        dp = math.gcd(batch_size, n_dev)
+        mesh = make_mesh(n_devices=dp)
+    num_epochs = hp["num_epochs"]
+
+    data_module.setup("fit")
+    train_loader = data_module.train_dataloader()
+    val_loader = data_module.val_dataloader()
+    steps_per_epoch = max(1, len(train_loader))
+    total_steps = steps_per_epoch * num_epochs
+
+    optimizer = make_optimizer(hp)
+    scheduler = make_scheduler(hp, total_steps)
+    opt_state = optimizer.init(variables["params"])
+    state = TrainState(
+        params=replicate_tree(mesh, variables["params"]),
+        batch_stats=replicate_tree(mesh, variables.get("batch_stats", {})),
+        opt_state=replicate_tree(mesh, opt_state),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    if config["tasks"]["train_tasks"].get("resume_training_from_ckpt"):
+        # reference trainers.py:94-104: reload weights then fit
+        from flair_for_aigle_tpu.models.checkpoint import load_checkpoint
+
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        v, _ = load_checkpoint(config, v, transpose_conv_prefixes=(".up.0",),
+                               exit_on_fail=False)
+        state = state._replace(params=replicate_tree(mesh, v["params"]),
+                               batch_stats=replicate_tree(mesh, v["batch_stats"]))
+
+    train_step, eval_step, _ = make_steps(model, config, optimizer,
+                                          aux_loss_fix=aux_loss_fix)
+    ckpt_cb = CheckpointCallback(config, out_dir)
+    tb = _TBWriter(os.path.join(
+        out_dir, "tensorboard_logs_" + config["paths"]["out_model_name"]
+    ))
+    rng = jax.random.key(hp.get("seed", 0))
+    global_step = 0
+
+    for epoch in range(num_epochs):
+        # ---- train -----------------------------------------------------
+        loss_sum, n_batches = 0.0, 0
+        confmats: Dict[str, np.ndarray] = {}
+        for batch in train_loader:
+            batch = _array_batch(batch)
+            batch, _ = pad_batch_to(batch, batch_size)
+            batch = shard_batch(mesh, batch)
+            lr = scheduler.lr_for_step(global_step)
+            state = state._replace(
+                opt_state=set_learning_rate(state.opt_state, lr)
+            )
+            rng, sub = jax.random.split(rng)
+            state, m = train_step(state, batch, sub)
+            loss_sum += float(m["loss"])
+            if not np.isfinite(float(m["loss"])):
+                logger.info("NaN or Inf detected in loss at step %d",
+                            global_step)
+            for t, cm in m["confmats"].items():
+                confmats[t] = confmats.get(t, 0) + np.asarray(cm)
+            n_batches += 1
+            global_step += 1
+        train_metrics = _epoch_metrics(confmats, loss_sum, n_batches, "train")
+        tb.scalar("train_loss", train_metrics["train_loss"], epoch)
+        tb.scalar("train_miou", train_metrics["train_miou"], epoch)
+        tb.scalar("lr", scheduler.lr_for_step(max(global_step - 1, 0)), epoch)
+
+        # ---- validate --------------------------------------------------
+        val_metrics = validate(config, val_loader, eval_step, state, mesh,
+                               batch_size)
+        for k, v in val_metrics.items():
+            if k.count("_") <= 2:
+                tb.scalar(k, v, epoch)
+        scheduler.epoch_end(val_metrics["val_loss"])
+
+        logger.info(
+            "epoch %d: train_loss %.4f train_miou %.4f | val_loss %.4f "
+            "val_miou %.4f",
+            epoch, train_metrics["train_loss"], train_metrics["train_miou"],
+            val_metrics["val_loss"], val_metrics["val_miou"],
+        )
+        ckpt_cb.on_epoch_end(epoch, {**train_metrics, **val_metrics}, state)
+        if ckpt_cb.should_stop:
+            logger.info("Early stopping at epoch %d", epoch)
+            break
+
+    # final validate (reference trainers.py:431)
+    validate(config, val_loader, eval_step, state, mesh, batch_size)
+    tb.flush()
+    return ckpt_cb, state
+
+
+def validate(config, val_loader, eval_step, state, mesh, batch_size
+             ) -> Dict[str, float]:
+    loss_sum, n_batches = 0.0, 0
+    confmats: Dict[str, np.ndarray] = {}
+    for batch in val_loader:
+        batch = _array_batch(batch)
+        batch, _ = pad_batch_to(batch, batch_size)
+        batch = shard_batch(mesh, batch)
+        m = eval_step(state, batch)
+        loss_sum += float(m["loss"])
+        for t, cm in m["confmats"].items():
+            confmats[t] = confmats.get(t, 0) + np.asarray(cm)
+        n_batches += 1
+    return _epoch_metrics(confmats, loss_sum, n_batches, "val")
+
+
+def predict(config: Dict[str, Any], data_module, model, state: TrainState,
+            out_dir: str) -> None:
+    """Prediction driver with PredictionWriter callback
+    (reference trainers.py:436-461)."""
+    from flair_for_aigle_tpu.train.task import make_steps
+    from flair_for_aigle_tpu.train.optim import make_optimizer
+    from flair_for_aigle_tpu.writer.prediction_writer import PredictionWriter
+
+    data_module.setup("predict")
+    loader = data_module.predict_dataloader()
+    _, _, predict_step = make_steps(
+        model, config, make_optimizer(config["hyperparams"])
+    )
+    writer = PredictionWriter(config, output_dir=out_dir)
+    for batch in loader:
+        arr = _array_batch(batch)
+        preds = predict_step(state, arr)
+        preds = {k: np.asarray(v) for k, v in preds.items()}
+        writer.write_on_batch_end(preds, batch)
+    writer.on_predict_epoch_end()
