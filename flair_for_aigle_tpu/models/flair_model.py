@@ -58,12 +58,20 @@ def round_to_nearest_power_of_two(x: float) -> int:
     return 2 ** round(math.log2(x))
 
 
-def adjust_fm_length(config: dict, mono_channels: list[int]) -> list[int]:
-    """Reference adjust_fm_length (flair_model.py:194-216)."""
+def adjust_fm_length(config_or_mt: dict, mono_channels: list[int]) -> list[int]:
+    """Reference adjust_fm_length (flair_model.py:194-216).
+
+    Accepts either the full config or the multitemp sub-config.
+    """
     chans = list(mono_channels)
     if len(chans) > 2 and (chans[0] == 0 or chans[1] == 0):
         chans = chans[2:]
-    ew = config["models"]["multitemp_model"]["encoder_widths"]
+    mt = config_or_mt
+    if "models" in config_or_mt:
+        mt = config_or_mt["models"].get(
+            "multitemp_model", {"encoder_widths": [64, 64, 64, 128]}
+        )
+    ew = mt["encoder_widths"]
     expanded = np.linspace(min(ew) - 1, max(ew) + 1, len(chans)).astype(int)
     return [round_to_nearest_power_of_two(v) for v in expanded]
 
@@ -100,13 +108,23 @@ def resolve_model_plan(config: dict) -> dict:
     channels = compute_channels_dict(config)
     spec = MonotempSpec.from_arch(config["models"]["monotemp_model"]["arch"])
 
-    mt = dict(config["models"]["multitemp_model"])
+    default_mt = {
+        "ref_date": "05-15",
+        "encoder_widths": [64, 64, 64, 128],
+        "decoder_widths": [32, 32, 64, 128],
+        "out_conv": [32, 19],
+        "str_conv_k": 3, "str_conv_s": 1, "str_conv_p": 1,
+        "agg_mode": "att_group", "encoder_norm": "group",
+        "n_head": 16, "d_model": 256, "d_k": 4,
+        "pad_value": 0, "padding_mode": "reflect",
+    }
+    mt = dict(config["models"].get("multitemp_model", default_mt))
     out_conv = list(mt["out_conv"])
     if active_multi and task_nclasses != out_conv[-1]:
         out_conv = out_conv + [task_nclasses]
     if active_mono:
         mono_oc = list(encoder_out_channels(spec.encoder_name, channels[active_mono[0]]))
-        widths = adjust_fm_length(config, mono_oc)
+        widths = adjust_fm_length(mt, mono_oc)
         mt["encoder_widths"] = widths
         mt["decoder_widths"] = widths
     mt["out_conv"] = out_conv

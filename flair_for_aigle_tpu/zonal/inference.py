@@ -193,10 +193,9 @@ def load_geozone_contour(config) -> list:
     """Reference inference.py:229-252: cached geozone file filtered by
     iso_code (PostGIS fallback is out of scope without a DB driver; a clear
     error is raised when the cache file is absent)."""
-    shp = os.path.join(
-        getattr(config, "db_sources", "."), os.getenv("GEOZONES_SHAPEFILE", "")
-    )
-    if not os.path.exists(shp):
+    geo_file = os.getenv("GEOZONES_SHAPEFILE", "")
+    shp = os.path.join(getattr(config, "db_sources", "."), geo_file)
+    if not geo_file or not os.path.isfile(shp):
         raise FileNotFoundError(
             f"Geozones cache file not found: {shp} (PostGIS fallback requires "
             "a database driver; provide the cached geozones GPKG)"
