@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark: km²/hour of 20 cm VHR zonal inference on one TPU chip.
+
+End-to-end per the BASELINE.md north star: read -> tile -> infer -> stitch
+-> write for 1 km² of synthetic 20 cm imagery (5000x5000 px, 3-band uint8)
+with the flagship swin_base_patch4_window12_384-upernet model (512 px
+patches, 40 px margin, batch 8 — the reference zonal defaults,
+configs/config_model_zonal_segmentation.yaml:17-21). Weights are random
+(throughput is weight-independent); compute in bfloat16 with float32 logit
+epilogue. A small warmup raster triggers compilation before timing.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` divides by an estimated reference throughput of 300 km²/h
+for the PyTorch stack on one A100 (the reference publishes no throughput —
+BASELINE.json "published": {} — this estimate assumes ~25 img/s fp16
+swin-base-upernet 512px plus host-side stitching overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+A100_BASELINE_KM2_PER_H = 300.0
+
+PATCH = 512
+MARGIN = 40
+BATCH = 8
+RES = 0.2  # m/px
+KM2_SIDE_PX = 5000  # 1 km at 0.2 m/px
+
+
+def make_raster(path: str, side: int, seed: int = 0) -> None:
+    from flair_for_aigle_tpu.geo.geotiff import write_geotiff
+    from flair_for_aigle_tpu.geo.windows import from_origin
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (3, side, side), dtype=np.int64).astype(np.uint8)
+    write_geotiff(path, arr, from_origin(700000.0, 6600000.0, RES, RES),
+                  "EPSG:2154", compress="lzw", tile_size=512)
+
+
+def make_cfg(img_path: str, out_dir: str, n_classes: int = 19) -> dict:
+    return {
+        "output_path": out_dir,
+        "output_name": "bench_zonal",
+        "write_dataframe": False,
+        "output_type": "argmax",
+        "cog_conversion": False,
+        "model_weights": "",
+        "batch_size": BATCH,
+        "num_worker": 1,
+        "img_pixels_detection": PATCH,
+        "margin": MARGIN,
+        "output_px_meters": RES,
+        "compute_dtype": "bfloat16",
+        "monotemp_arch": "swin_base_patch4_window12_384-upernet",
+        "multitemp_model_ref_date": "05-15",
+        "modalities": {
+            "inputs": {"AERIAL_RGBI": True, "AERIAL-RLT_PAN": False,
+                       "DEM_ELEV": False, "SPOT_RGBI": False,
+                       "SENTINEL2_TS": False, "SENTINEL1-ASC_TS": False,
+                       "SENTINEL1-DESC_TS": False},
+            "AERIAL_RGBI": {
+                "input_img_path": img_path,
+                "channels": [1, 2, 3],
+                "normalization": {"type": "custom",
+                                  "means": [105.66, 111.35, 102.18],
+                                  "stds": [52.23, 45.62, 44.30]},
+            },
+        },
+        "tasks": [{"name": "AERIAL_LABEL-COSIA", "active": True,
+                   "class_names": {i: f"c{i}" for i in range(n_classes)}}],
+    }
+
+
+def run_zonal(cfg: dict, model_pack=None):
+    """run_inference but reusing a prebuilt model (weights are irrelevant
+    to throughput; skipping the checkpoint keeps the bench self-contained)."""
+    from flair_for_aigle_tpu.geo.geotiff import open_raster
+    from flair_for_aigle_tpu.zonal.dataset import BatchedLoader
+    from flair_for_aigle_tpu.zonal.inference import (
+        inference_and_write,
+        init_outputs,
+        initialize_geometry_and_resolutions,
+        prep_dataset,
+    )
+    from flair_for_aigle_tpu.zonal.model_utils import (
+        build_inference_model,
+        compute_patch_sizes,
+    )
+    from flair_for_aigle_tpu.zonal.slicing import generate_patches_from_reference
+
+    cfg = dict(cfg)
+    cfg.pop("image_shape_px", None)
+    cfg = initialize_geometry_and_resolutions(cfg)
+    cfg["output_type"] = cfg.get("output_type", "argmax")
+    cfg["labels"] = [t["name"] for t in cfg["tasks"] if t["active"]]
+    cfg["labels_configs"] = {
+        t["name"]: {"value_name": list(t["class_names"].values())}
+        for t in cfg["tasks"] if t["active"]
+    }
+    tiles = generate_patches_from_reference(cfg)
+    patch_sizes = compute_patch_sizes(cfg)
+    if model_pack is None:
+        model, variables, _ = build_inference_model(cfg, patch_sizes, BATCH)
+        model_pack = (model, variables)
+    model, variables = model_pack
+    dataset = prep_dataset(cfg, tiles, patch_sizes)
+    loader = BatchedLoader(dataset, batch_size=BATCH)
+    ref_img = open_raster(
+        cfg["modalities"][cfg["reference_modality"]]["input_img_path"]
+    )
+    output_files, temp_paths = init_outputs(cfg, ref_img)
+    inference_and_write(model, variables, loader, tiles, cfg, output_files,
+                        ref_img)
+    ref_img.close()
+    dataset.close()
+    return model_pack, len(tiles), temp_paths
+
+
+def main():
+    import logging
+
+    logging.basicConfig(level=logging.WARNING)
+    work = os.path.join(REPO, ".tmp", "bench")
+    os.makedirs(work, exist_ok=True)
+
+    warm_path = os.path.join(work, "warmup.tif")
+    big_path = os.path.join(work, "km2.tif")
+    if not os.path.exists(warm_path):
+        make_raster(warm_path, 2 * PATCH)
+    if not os.path.exists(big_path):
+        make_raster(big_path, KM2_SIDE_PX)
+
+    out_dir = os.path.join(work, "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # warmup: build + compile on a small raster
+    pack, _, _ = run_zonal(make_cfg(warm_path, out_dir))
+
+    # timed: 1 km2 end-to-end (read -> tile -> infer -> stitch -> write)
+    t0 = time.time()
+    _, n_tiles, temp_paths = run_zonal(make_cfg(big_path, out_dir), pack)
+    elapsed = time.time() - t0
+
+    km2 = (KM2_SIDE_PX * RES / 1000.0) ** 2
+    km2_per_hour = km2 / (elapsed / 3600.0)
+    print(json.dumps({
+        "metric": "km2_per_hour_zonal_20cm_vhr_per_chip",
+        "value": round(km2_per_hour, 2),
+        "unit": "km2/h",
+        "vs_baseline": round(km2_per_hour / A100_BASELINE_KM2_PER_H, 3),
+        "detail": {
+            "elapsed_s": round(elapsed, 2),
+            "tiles": n_tiles,
+            "patch": PATCH, "margin": MARGIN, "batch": BATCH,
+            "arch": "swin_base_patch4_window12_384-upernet",
+            "baseline_estimate_note":
+                "A100 reference estimated at 300 km2/h (no published number)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,17 +47,18 @@ def stitch_tiles_pallas(canvas: jax.Array, tiles: jax.Array,
     """Pallas scatter: one grid step per tile, offsets scalar-prefetched."""
     b, c, th, tw = tiles.shape
 
-    def kernel(offs_ref, tiles_ref, canvas_ref):
+    def kernel(offs_ref, tiles_ref, canvas_in_ref, canvas_ref):
         i = pl.program_id(0)
         row = offs_ref[i, 0]
         col = offs_ref[i, 1]
-        canvas_ref[:, pl.ds(row, th), pl.ds(col, tw)] = tiles_ref[...]
+        canvas_ref[:, pl.ds(row, th), pl.ds(col, tw)] = tiles_ref[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, c, th, tw), lambda i, offs: (i, 0, 0, 0)),
+            pl.BlockSpec(canvas.shape, lambda i, offs: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(canvas.shape, lambda i, offs: (0, 0, 0)),
     )
@@ -65,7 +66,7 @@ def stitch_tiles_pallas(canvas: jax.Array, tiles: jax.Array,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
-        input_output_aliases={1: 0},
+        input_output_aliases={2: 0},  # alias canvas input -> output
         interpret=interpret,
     )
     return fn(offsets, tiles, canvas)

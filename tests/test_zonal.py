@@ -198,3 +198,16 @@ def test_canvas_matches_host_reference_loop(tmp_path):
         w = min(pred.shape[-1], 96 - left_px)
         want[top_px:top_px + h, left_px:left_px + w] = pred[0, :h, :w]
     np.testing.assert_array_equal(got, want)
+
+
+def test_stitch_pallas_matches_lax():
+    import jax.numpy as jnp
+    from flair_for_aigle_tpu.ops.pallas.stitch import stitch_tiles_pallas
+
+    rng = np.random.default_rng(1)
+    tiles = jnp.asarray(rng.integers(0, 255, (5, 2, 8, 8)).astype(np.uint8))
+    offs = jnp.asarray(rng.integers(0, 30, (5, 2)).astype(np.int32))
+    base = jnp.zeros((2, 40, 50), jnp.uint8)
+    got = stitch_tiles_pallas(base, tiles, offs, interpret=True)
+    want = stitch_tiles(jnp.zeros((2, 40, 50), jnp.uint8), tiles, offs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
