@@ -133,6 +133,15 @@ def main():
     work = os.path.join(REPO, ".tmp", "bench")
     os.makedirs(work, exist_ok=True)
 
+    # persistent compilation cache: repeated bench runs skip the ~2 min
+    # XLA compile of the swin-base step
+    import jax
+
+    cache_dir = os.path.join(REPO, ".tmp", "jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     warm_path = os.path.join(work, "warmup.tif")
     big_path = os.path.join(work, "km2.tif")
     if not os.path.exists(warm_path):

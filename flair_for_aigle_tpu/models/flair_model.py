@@ -354,3 +354,49 @@ class FlairHubModel(nn.Module):
             task: jnp.transpose(logits_tasks[task], (0, 3, 1, 2)) for task in labels
         }
         return out_tasks, logits_aux
+
+
+def count_params(tree) -> int:
+    import numpy as _np
+
+    return sum(int(_np.prod(_np.shape(x))) for x in jax.tree.leaves(tree))
+
+
+def print_model_parameters(variables: dict, config: dict) -> str:
+    """Parameter-count table per component (reference
+    print_model_parameters, flair_model.py:219-289). Returns the table and
+    logs it on rank zero."""
+    params = variables.get("params", variables)
+    arch = config["models"]["monotemp_model"]["arch"]
+    enc_arch = arch.split("-")[0]
+    dec_arch = arch.split("-")[1] if "-" in arch else arch
+
+    groups: dict[str, dict] = {"backbone": {}, "aux loss decoder": {},
+                               "task decoder": {}, "other": {}}
+    for name, sub in params.items():
+        n = count_params(sub)
+        if name.startswith("encoders."):
+            mod = name.split(".")[1]
+            kind = "utae" if mod in MULTI_KEYS else enc_arch
+            groups["backbone"][mod] = (kind, n)
+        elif name.startswith("aux_decoders."):
+            groups["aux loss decoder"][name.split(".")[1]] = (dec_arch, n)
+        elif name.startswith("main_decoders."):
+            groups["task decoder"][name.split(".")[1]] = (dec_arch, n)
+        else:
+            groups["other"][name] = ("-", n)
+
+    total = count_params(params)
+    lines = [" " + "-" * 113]
+    lines.append("| {:<37} | {:<35} | {:<17} | {:<13} |".format(
+        "Model modality", "Architecture", "Type", "Parameters"))
+    for gname in ("backbone", "aux loss decoder", "task decoder", "other"):
+        for key, (kind, n) in groups[gname].items():
+            lines.append("| {:<37} | {:<35} | {:<17} | {:>13,} |".format(
+                key, kind, gname, n))
+    lines.append("| {:<37}   {:<35}   {:<17}   {:>13,} |".format(
+        "Total parameters", "", "", total))
+    lines.append(" " + "-" * 113)
+    table = "\n".join(lines)
+    logger.info("\n%s", table)
+    return table

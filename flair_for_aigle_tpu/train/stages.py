@@ -76,7 +76,7 @@ def build_segmentation_module(config: Dict[str, Any], in_img_sizes,
     example = {
         k: jnp.asarray(v) for k, v in _array_batch(monkeybatch).items()
     }
-    variables = dict(model.init(jax.random.key(
+    variables = dict(jax.jit(model.init)(jax.random.key(
         config["hyperparams"].get("seed", 0)), example))
     return model, variables
 

@@ -138,7 +138,9 @@ def build_inference_model(config: Dict[str, Any], patch_sizes: Dict[str, int],
     model_cfg = prepare_model_config(config)
     model = FlairHubModel(config=model_cfg, img_input_sizes=patch_sizes)
     example = example_batch_for(model_cfg, patch_sizes, batch_size, t_steps)
-    variables = model.init(jax.random.key(0), example)
+    # jit the init: one compiled program instead of per-op dispatch (which is
+    # pathologically slow over a tunneled TPU)
+    variables = jax.jit(model.init)(jax.random.key(0), example)
     variables = dict(variables)
     variables, _report = load_checkpoint(
         model_cfg, variables,
