@@ -61,6 +61,7 @@ def make_cfg(img_path: str, out_dir: str, n_classes: int = 19) -> dict:
         "margin": MARGIN,
         "output_px_meters": RES,
         "compute_dtype": "bfloat16",
+        "normalize_on_device": True,
         "monotemp_arch": "swin_base_patch4_window12_384-upernet",
         "multitemp_model_ref_date": "05-15",
         "modalities": {

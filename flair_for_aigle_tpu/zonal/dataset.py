@@ -183,10 +183,18 @@ class MultiModalSlicedDataset:
                     diffs, np.float32
                 )
             else:
-                raw = patch.copy()
-                patch = self._normalize_patch(patch, cfg)
-                tile_data[mod_name] = np.ascontiguousarray(patch, np.float32)
-                tile_data[mod_name + "_RAW"] = np.ascontiguousarray(raw, np.float32)
+                if self.modalities_config.get("normalize_on_device"):
+                    # raw patch in native dtype; the jit'd step normalizes
+                    # on the TPU (zonal/inference.py make_infer_step) — a
+                    # single CPU cannot keep up with float64 host norm.
+                    tile_data[mod_name] = np.ascontiguousarray(patch)
+                else:
+                    raw = patch.copy()
+                    patch = self._normalize_patch(patch, cfg)
+                    tile_data[mod_name] = np.ascontiguousarray(patch, np.float32)
+                    tile_data[mod_name + "_RAW"] = np.ascontiguousarray(
+                        raw, np.float32
+                    )
 
         tile_data["index"] = np.array([idx], np.int64)
 

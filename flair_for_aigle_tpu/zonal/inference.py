@@ -219,9 +219,32 @@ def load_geozone_contour(config) -> list:
 # ---------------------------------------------------------------------------
 
 
+_STEP_CACHE: dict = {}
+
+
 def make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
                     n_classes: Dict[str, int], scale_num: int, scale_den: int,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, device_norm: Dict | None = None):
+    # memoize per process: a fresh jit closure per raster would re-trace and
+    # re-load the executable onto the (possibly tunneled) device each time
+    norm_key = tuple(sorted(
+        (m, tuple(mm), tuple(ss)) for m, (mm, ss) in (device_norm or {}).items()
+    ))
+    cache_key = (id(model), output_type, margin_px, tile_size,
+                 tuple(sorted(n_classes.items())), scale_num, scale_den,
+                 str(compute_dtype), norm_key)
+    if cache_key in _STEP_CACHE:
+        return _STEP_CACHE[cache_key]
+    step = _make_infer_step(model, output_type, margin_px, tile_size,
+                            n_classes, scale_num, scale_den, compute_dtype,
+                            device_norm)
+    _STEP_CACHE[cache_key] = step
+    return step
+
+
+def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
+                     n_classes: Dict[str, int], scale_num: int, scale_den: int,
+                     compute_dtype=jnp.float32, device_norm: Dict | None = None):
     """Build the jit'd batch step: forward -> crop -> convert -> rescale.
 
     Returns tiles_u8 dict {task: (B, C_or_1, th, tw) uint8}. The nearest
@@ -244,14 +267,24 @@ def make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
 
     rescale_idx = _maybe_rescale_idx()
 
+    norm_consts = {}
+    for mod, (means, stds) in (device_norm or {}).items():
+        norm_consts[mod] = (
+            jnp.asarray(means, jnp.float32)[None, :, None, None],
+            jnp.asarray(stds, jnp.float32)[None, :, None, None],
+        )
+
     @jax.jit
     def step(variables, batch):
-        cast = {
-            k: (v.astype(compute_dtype)
-                if isinstance(v, jnp.ndarray) and v.dtype == jnp.float32
-                and not k.endswith("_DATES") else v)
-            for k, v in batch.items()
-        }
+        cast = {}
+        for k, v in batch.items():
+            if k in norm_consts:
+                mean, std = norm_consts[k]
+                v = ((v.astype(jnp.float32) - mean) / std)
+            if (isinstance(v, jnp.ndarray) and v.dtype == jnp.float32
+                    and not k.endswith("_DATES")):
+                v = v.astype(compute_dtype)
+            cast[k] = v
         logits_tasks, _ = model.apply(variables, cast)
         out = {}
         for task, logits in logits_tasks.items():
@@ -291,11 +324,21 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
 
     tasks = list(output_files.keys())
     n_classes = {t: output_files[t].count for t in tasks}
+    device_norm = None
+    if config.get("normalize_on_device"):
+        device_norm = {}
+        for mod, active in config["modalities"]["inputs"].items():
+            if not active:
+                continue
+            ncfg = config["modalities"][mod].get("normalization") or {}
+            if ncfg.get("type") == "custom":
+                device_norm[mod] = (ncfg["means"], ncfg["stds"])
     step = make_infer_step(
         model, output_type, margin_px, tile_size, n_classes,
         scale_num, scale_den,
         compute_dtype=jnp.bfloat16 if config.get("compute_dtype") == "bfloat16"
         else jnp.float32,
+        device_norm=device_norm,
     )
 
     inner = tile_size - 2 * margin_px
@@ -311,13 +354,28 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
     img_w = {t: output_files[t].width for t in tasks}
 
     logger.info("[ ] Starting inference and on-device stitching ...")
+    # The dataset emits reference-parity extras (``*_RAW`` copies and big
+    # zero-filled label tensors) that the forward never consumes — shipping
+    # them to the device costs ~10x the useful H2D volume. Labels are only
+    # read for their spatial size, so a device-resident zero stand-in with
+    # one channel is substituted once.
+    device_labels = None
     for batch in dataloader:
         valid = batch.pop("valid")
         indices = np.asarray(batch["index"]).reshape(-1)
         jb = {
             k: jnp.asarray(v) for k, v in batch.items()
             if isinstance(v, np.ndarray) and k != "index"
+            and not k.endswith("_RAW") and k not in config["labels"]
         }
+        if device_labels is None:
+            bsz = len(indices)
+            device_labels = {
+                t: jnp.zeros((bsz, 1) + tuple(np.shape(batch[t])[-2:]),
+                             jnp.float32)
+                for t in config["labels"]
+            }
+        jb.update(device_labels)
         preds = step(variables, jb)
 
         # offsets identical for all tasks (shared grid)

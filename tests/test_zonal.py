@@ -211,3 +211,24 @@ def test_stitch_pallas_matches_lax():
     got = stitch_tiles_pallas(base, tiles, offs, interpret=True)
     want = stitch_tiles(jnp.zeros((2, 40, 50), jnp.uint8), tiles, offs)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_device_norm_matches_host_norm(tmp_path):
+    """normalize_on_device fast path produces the same argmax raster as the
+    host float64 parity path."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96, seed=9)
+    cfg = make_zonal_config(tmp_path, img)
+    host_paths = run_inference(dict(cfg))
+    with open_raster(host_paths["AERIAL_LABEL-COSIA"]) as src:
+        host = src.read(1)
+
+    cfg2 = make_zonal_config(tmp_path, img)
+    cfg2["output_name"] = "test_zonal_dev"
+    cfg2["normalize_on_device"] = True
+    dev_paths = run_inference(cfg2)
+    with open_raster(dev_paths["AERIAL_LABEL-COSIA"]) as src:
+        dev = src.read(1)
+    # identical up to float32-vs-float64 normalization rounding at argmax
+    agree = (host == dev).mean()
+    assert agree > 0.999, f"device-norm disagreement: {1 - agree:.4%}"
