@@ -299,3 +299,66 @@ def convert_to_cog(input_path: str, output_path: str, blocksize: int = 512) -> N
     write_geotiff(output_path, data, transform, crs, "lzw",
                   tile_size=blocksize, overviews=levels)
     os.remove(input_path)
+
+
+class MemoryRaster:
+    """Raster decoded once into RAM, serving the RasterReader.read surface.
+
+    Overlapping zonal windows re-decode each compressed tile ~2-4x through
+    the native reader; for rasters that fit comfortably in memory a single
+    full decode is cheaper (enable with the zonal ``preload_rasters`` flag).
+    """
+
+    def __init__(self, reader: RasterReader):
+        self.path = reader.path
+        self.width, self.height, self.count = (
+            reader.width, reader.height, reader.count
+        )
+        self.dtypes = reader.dtypes
+        self.crs = reader.crs
+        self.transform = reader.transform
+        self._data = reader.read()
+
+    shape = RasterReader.shape
+    res = RasterReader.res
+    bounds = RasterReader.bounds
+    profile = RasterReader.profile
+
+    def read(self, indexes=None, window=None, out_shape=None,
+             resampling="nearest", boundless=False, fill_value=0):
+        squeeze = False
+        if indexes is None:
+            indexes = list(range(1, self.count + 1))
+        elif isinstance(indexes, int):
+            indexes = [indexes]
+            squeeze = True
+        bands = [i - 1 for i in indexes]
+        if window is None:
+            win = Window(0, 0, self.width, self.height).round()
+        else:
+            win = window.round()
+        c0, r0 = int(win.col_off), int(win.row_off)
+        c1, r1 = c0 + int(win.width), r0 + int(win.height)
+        if boundless:
+            out = np.full((len(bands), r1 - r0, c1 - c0), fill_value,
+                          self.dtypes[0])
+            ic0, ir0 = max(0, c0), max(0, r0)
+            ic1, ir1 = min(self.width, c1), min(self.height, r1)
+            if ic0 < ic1 and ir0 < ir1:
+                # slice the window BEFORE band fancy-indexing (band-first
+                # indexing copies the whole array per read)
+                out[:, ir0 - r0:ir1 - r0, ic0 - c0:ic1 - c0] = (
+                    self._data[:, ir0:ir1, ic0:ic1][bands]
+                )
+        else:
+            c0, r0 = max(0, c0), max(0, r0)
+            c1, r1 = min(self.width, c1), min(self.height, r1)
+            out = np.ascontiguousarray(self._data[:, r0:r1, c0:c1][bands])
+        if out_shape is not None and tuple(out.shape) != tuple(out_shape):
+            out = _resample_chw(out, out_shape[-2], out_shape[-1], resampling)
+        if squeeze and out.shape[0] == 1:
+            out = out[0]
+        return out
+
+    def close(self):
+        self._data = None

@@ -55,10 +55,17 @@ class MultiModalSlicedDataset:
         self.ref_date_str = ref_date_str
         self.fixed_t = fixed_t
 
-        self.readers = {
-            mod: open_raster(cfg["input_img_path"])
-            for mod, cfg in modality_cfgs.items()
-        }
+        self.readers = {}
+        preload = modalities_config.get("preload_rasters", False)
+        for mod, cfg in modality_cfgs.items():
+            reader = open_raster(cfg["input_img_path"])
+            if preload:
+                from flair_for_aigle_tpu.geo.geotiff import MemoryRaster
+
+                mem = MemoryRaster(reader)
+                reader.close()
+                reader = mem
+            self.readers[mod] = reader
         self.mask_reader = None
         self.mask_resolution_ratio = 1.0
         s2 = modality_cfgs.get("SENTINEL2_TS")
@@ -197,6 +204,11 @@ class MultiModalSlicedDataset:
                     )
 
         tile_data["index"] = np.array([idx], np.int64)
+
+        if self.modalities_config.get("emit_label_placeholders") is False:
+            # fast path: the engine substitutes device-resident zero labels;
+            # stacking ~20MB/task of host zeros per tile is pure waste
+            return tile_data
 
         for task in self.modalities_config["labels"]:
             n_cls = len(

@@ -370,9 +370,13 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         }
         if device_labels is None:
             bsz = len(indices)
+            ps = config["img_pixels_detection"]
             device_labels = {
-                t: jnp.zeros((bsz, 1) + tuple(np.shape(batch[t])[-2:]),
-                             jnp.float32)
+                t: jnp.zeros(
+                    (bsz, 1) + (tuple(np.shape(batch[t])[-2:])
+                                if t in batch else (ps, ps)),
+                    jnp.float32,
+                )
                 for t in config["labels"]
             }
         jb.update(device_labels)
