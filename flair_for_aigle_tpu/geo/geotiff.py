@@ -50,11 +50,6 @@ class RasterReader:
     def __init__(self, path: str):
         if not os.path.exists(path):
             raise FileNotFoundError(path)
-        if path.lower().endswith((".jp2", ".j2k")):
-            raise NotImplementedError(
-                "JPEG2000 inputs are not supported yet; convert to GeoTIFF "
-                "(the zonal engine consumes GeoTIFF natively)."
-            )
         self._lib = load_native()
         self._h = self._lib.gt_open(path.encode())
         if not self._h:
@@ -192,7 +187,11 @@ def _resample_chw(arr: np.ndarray, out_h: int, out_w: int, method: str) -> np.nd
     ) if arr.dtype.kind != "f" else out.astype(arr.dtype)
 
 
-def open_raster(path: str) -> RasterReader:
+def open_raster(path: str):
+    if path.lower().endswith((".jp2", ".j2k", ".j2c")):
+        from flair_for_aigle_tpu.geo.jp2 import Jp2Reader
+
+        return Jp2Reader(path)
     return RasterReader(path)
 
 

@@ -1,0 +1,81 @@
+"""JPEG2000 reading: native windowed decode + GeoJP2 metadata + zonal run."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from flair_for_aigle_tpu.geo.geotiff import open_raster
+from flair_for_aigle_tpu.geo.jp2 import (
+    Jp2Reader,
+    append_geojp2_box,
+    jp2_available,
+)
+from flair_for_aigle_tpu.geo.windows import Window, from_origin
+
+pytestmark = pytest.mark.skipif(not jp2_available(),
+                                reason="libopenjp2 unavailable")
+
+
+def make_jp2(path, arr_hw3, transform=None, crs=None):
+    Image.fromarray(arr_hw3).save(path)  # PIL writes lossless jp2
+    if transform is not None:
+        append_geojp2_box(path, transform, crs)
+
+
+@pytest.fixture
+def jp2_file(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+    path = str(tmp_path / "img.jp2")
+    make_jp2(path, arr, from_origin(700000.0, 6600000.0, 0.5, 0.5),
+             "EPSG:2154")
+    return path, arr
+
+
+def test_jp2_info_and_full_read(jp2_file):
+    path, arr = jp2_file
+    with open_raster(path) as src:
+        assert isinstance(src, Jp2Reader)
+        assert (src.height, src.width, src.count) == (96, 128, 3)
+        assert src.crs == "EPSG:2154"
+        assert abs(src.res[0] - 0.5) < 1e-9
+        assert abs(src.bounds.left - 700000.0) < 1e-6
+        got = src.read()
+    want = np.transpose(arr, (2, 0, 1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_jp2_windowed_and_boundless(jp2_file):
+    path, arr = jp2_file
+    want = np.transpose(arr, (2, 0, 1))
+    with open_raster(path) as src:
+        win = src.read(window=Window(10, 20, 40, 30))
+        np.testing.assert_array_equal(win, want[:, 20:50, 10:50])
+        bl = src.read(window=Window(-8, -8, 32, 32), boundless=True,
+                      fill_value=7)
+        assert bl.shape == (3, 32, 32)
+        assert (bl[:, :8, :] == 7).all()
+        np.testing.assert_array_equal(bl[:, 8:, 8:], want[:, :24, :24])
+        # band select + resample
+        b2 = src.read([2], window=Window(0, 0, 64, 64),
+                      out_shape=(1, 32, 32), resampling="bilinear")
+        assert b2.shape == (1, 32, 32)
+
+
+def test_zonal_run_on_jp2(tmp_path):
+    """End-to-end zonal inference directly on a GeoJP2 input."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
+    jp2_path = str(tmp_path / "zone.jp2")
+    make_jp2(jp2_path, arr, from_origin(700000.0, 6600000.0, 0.5, 0.5),
+             "EPSG:2154")
+
+    from tests.test_zonal import make_zonal_config
+    from flair_for_aigle_tpu.zonal.inference import run_inference
+
+    cfg = make_zonal_config(tmp_path, jp2_path)
+    temp_paths = run_inference(cfg)
+    with open_raster(temp_paths["AERIAL_LABEL-COSIA"]) as src:
+        assert (src.height, src.width) == (96, 96)
+        assert src.crs == "EPSG:2154"
+        assert src.read(1).max() < 5
