@@ -144,6 +144,7 @@ def save_orbax_checkpoint(state: TrainState, path: str) -> None:
          "step": int(state.step)},
         force=True,
     )
+    ckptr.wait_until_finished()
 
 
 def _epoch_metrics(confmats: Dict[str, np.ndarray], loss_sum, n_batches,
@@ -296,3 +297,20 @@ def predict(config: Dict[str, Any], data_module, model, state: TrainState,
         preds = {k: np.asarray(v) for k, v in preds.items()}
         writer.write_on_batch_end(preds, batch)
     writer.on_predict_epoch_end()
+
+
+def restore_orbax_checkpoint(path: str, state: TrainState) -> TrainState:
+    """Restore params/batch_stats saved by save_orbax_checkpoint (full-state
+    resume beyond the reference's weights-only resume)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = {"params": jax.device_get(state.params),
+              "batch_stats": jax.device_get(state.batch_stats),
+              "step": 0}
+    restored = ckptr.restore(os.path.abspath(path), target)
+    return state._replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        step=jnp.asarray(restored["step"], jnp.int32),
+    )

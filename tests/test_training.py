@@ -169,3 +169,104 @@ def test_loss_weights_and_ce():
     got = float(weighted_cross_entropy(jnp.asarray(logits),
                                        jnp.asarray(targets), jnp.asarray(w)))
     assert abs(want - got) < 1e-5
+
+
+def test_aux_loss_fix_changes_gradients(toy):
+    """aux_loss_fix=True routes gradients through aux decoders (the
+    reference's aux path is dead code; ours is opt-in)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flair_for_aigle_tpu.models.flair_model import FlairHubModel
+    from flair_for_aigle_tpu.train.optim import make_optimizer
+    from flair_for_aigle_tpu.train.task import TrainState, make_steps
+    from tests._fixtures import make_batch, make_config
+
+    cfg = make_config(arch="resnet18-unet", mono=("AERIAL_RGBI",),
+                      tasks=(("TASK-A", 5),), aux=("AERIAL_RGBI",))
+    model = FlairHubModel(config=cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, 2, 32).items()}
+    variables = dict(model.init(jax.random.key(0), batch))
+    opt = make_optimizer(cfg["hyperparams"])
+
+    def run(aux_fix):
+        state = TrainState(variables["params"], variables["batch_stats"],
+                           opt.init(variables["params"]),
+                           jnp.zeros((), jnp.int32))
+        step, _, _ = make_steps(model, cfg, opt, aux_loss_fix=aux_fix)
+        new_state, m = step(state, batch, jax.random.key(1))
+        aux_kernel_before = variables["params"][
+            "aux_decoders.AERIAL_RGBI__TASK-A.seg_model"]["segmentation_head"][
+            "0"]["kernel"]
+        aux_kernel_after = new_state.params[
+            "aux_decoders.AERIAL_RGBI__TASK-A.seg_model"]["segmentation_head"][
+            "0"]["kernel"]
+        moved = float(jnp.abs(aux_kernel_after - aux_kernel_before).max())
+        return float(m["loss"]), moved
+
+    loss_off, moved_off = run(False)
+    loss_on, moved_on = run(True)
+    # dead path: only adamw weight decay touches the aux decoder (~1e-8);
+    # fixed path: real gradients move it orders of magnitude more
+    assert moved_off < 1e-6
+    assert moved_on > 100 * max(moved_off, 1e-9)
+    assert loss_on > loss_off        # aux terms add to the loss
+
+
+def test_metrics_only_mode(toy):
+    """predict_stage metrics_only recomputes metrics from rasters on disk."""
+    import json
+
+    root, csvs = toy
+    cfg = make_train_config(root, csvs)
+    out_dir = Path(cfg["paths"]["out_folder"]) / cfg["paths"]["out_model_name"]
+    out_pred = out_dir / "results_toy-model"
+    metrics_file = (out_pred / "metrics_toy-model" / "AERIAL_LABEL-COSIA"
+                    / "metrics.json")
+    if not metrics_file.exists():
+        pytest.skip("depends on test_full_training_and_predict artifacts")
+    before = json.loads(metrics_file.read_text())
+
+    cfg["tasks"]["predict"] = False
+    cfg["tasks"]["train"] = False
+    cfg["tasks"]["metrics_only"] = True
+    from flair_for_aigle_tpu.train.stages import predict_stage
+
+    predict_stage(cfg, None, out_pred)
+    after = json.loads(metrics_file.read_text())
+    # same confmat -> same metrics as the live predict pass
+    np.testing.assert_allclose(before["Avg_metrics"], after["Avg_metrics"],
+                               atol=1e-6)
+
+
+def test_orbax_full_state_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from flair_for_aigle_tpu.models.flair_model import FlairHubModel
+    from flair_for_aigle_tpu.train.optim import make_optimizer
+    from flair_for_aigle_tpu.train.task import TrainState
+    from flair_for_aigle_tpu.train.trainer import (
+        restore_orbax_checkpoint,
+        save_orbax_checkpoint,
+    )
+    from tests._fixtures import make_batch, make_config
+
+    cfg = make_config(arch="resnet18-unet", tasks=(("TASK-A", 3),))
+    model = FlairHubModel(config=cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, 1, 32).items()}
+    variables = dict(model.init(jax.random.key(0), batch))
+    opt = make_optimizer(cfg["hyperparams"])
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       opt.init(variables["params"]),
+                       jnp.asarray(7, jnp.int32))
+    path = str(tmp_path / "ckpt")
+    save_orbax_checkpoint(state, path)
+    fresh = dict(model.init(jax.random.key(5), batch))
+    restored = restore_orbax_checkpoint(
+        path, TrainState(fresh["params"], fresh["batch_stats"],
+                         opt.init(fresh["params"]), jnp.zeros((), jnp.int32)))
+    assert int(restored.step) == 7
+    a = np.asarray(state.params["encoders.AERIAL_RGBI.seg_model"]["conv1"]["kernel"])
+    b = np.asarray(restored.params["encoders.AERIAL_RGBI.seg_model"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(a, b)
