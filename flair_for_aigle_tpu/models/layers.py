@@ -97,6 +97,9 @@ class TorchConv(nn.Module):
         else:
             pad = ((ph, ph), (pw, pw))
         dtype = self.dtype or x.dtype
+        # no preferred_element_type: the TPU MXU accumulates bf16 convs in
+        # f32 regardless, and a f32 preferred output breaks the conv VJP
+        # dtype contract under bf16 autodiff
         y = lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),
@@ -105,7 +108,6 @@ class TorchConv(nn.Module):
             rhs_dilation=(dh, dw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param(
@@ -150,7 +152,6 @@ class TorchConvTranspose(nn.Module):
             padding=((kh - 1 - ph, kh - 1 - ph + op), (kw - 1 - pw, kw - 1 - pw + op)),
             lhs_dilation=(sh, sw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param(
@@ -260,7 +261,7 @@ class TorchLinear(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         in_f = x.shape[-1]
         kernel = self.param("kernel", torch_kaiming_uniform(), (in_f, self.features))
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(x, kernel).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", torch_fanin_bias_uniform(in_f), (self.features,))
             y = y + bias.astype(y.dtype)

@@ -57,6 +57,22 @@ def make_steps(model, config: Dict[str, Any], optimizer,
     mod_dropout = any(
         v > 0 for v in config["modalities"].get("modality_dropout", {}).values()
     )
+    compute_dtype = (
+        jnp.bfloat16
+        if config["hyperparams"].get("compute_dtype") == "bfloat16"
+        else None
+    )
+
+    def cast_inputs(batch):
+        if compute_dtype is None:
+            return batch
+        out = {}
+        for k, v in batch.items():
+            if (hasattr(v, "dtype") and v.dtype == jnp.float32
+                    and not k.endswith("_DATES") and k not in labels):
+                v = v.astype(compute_dtype)
+            out[k] = v
+        return out
 
     def compute_loss(logits_tasks, logits_aux, batch):
         loss_sum = 0.0
@@ -96,8 +112,8 @@ def make_steps(model, config: Dict[str, Any], optimizer,
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             (logits_tasks, logits_aux), mut = model.apply(
-                variables, batch, apply_mod_dropout=mod_dropout, train=True,
-                mutable=["batch_stats"], rngs=rngs,
+                variables, cast_inputs(batch), apply_mod_dropout=mod_dropout,
+                train=True, mutable=["batch_stats"], rngs=rngs,
             )
             loss, (preds, targets) = compute_loss(logits_tasks, logits_aux, batch)
             return loss, (mut["batch_stats"], preds, targets)
@@ -119,7 +135,8 @@ def make_steps(model, config: Dict[str, Any], optimizer,
     @jax.jit
     def eval_step(state: TrainState, batch: Dict[str, Any]):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        logits_tasks, logits_aux = model.apply(variables, batch, train=False)
+        logits_tasks, logits_aux = model.apply(variables, cast_inputs(batch),
+                                               train=False)
         loss, (preds, targets) = compute_loss(logits_tasks, logits_aux, batch)
         confmats = {}
         per_class_losses = {}

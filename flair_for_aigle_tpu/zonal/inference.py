@@ -305,8 +305,19 @@ def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
 
 
 def inference_and_write(model, variables, dataloader, tiles, config: Dict,
-                        output_files: Dict[str, WindowedWriter], ref_img) -> None:
-    """Run batched inference, stitch on device, land each canvas once."""
+                        output_files: Dict[str, WindowedWriter], ref_img,
+                        mesh=None) -> None:
+    """Run batched inference, stitch on device, land each canvas once.
+
+    Multi-chip: set ``data_parallel_devices`` in the config (or pass a mesh)
+    to shard each batch over the ``dp`` axis — params and canvases stay
+    replicated and GSPMD gathers the small uint8 tiles for the scatter.
+    """
+    n_dp = config.get("data_parallel_devices")
+    if mesh is None and n_dp and n_dp > 1:
+        from flair_for_aigle_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=n_dp)
     margin_px = config["margin"]
     tile_size = config["img_pixels_detection"]
     output_type = config["output_type"]
@@ -344,11 +355,21 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
     inner = tile_size - 2 * margin_px
     th = int(round(inner * scale_num / scale_den)) if needs_rescale else inner
 
+    if mesh is not None:
+        from flair_for_aigle_tpu.parallel.mesh import replicate_tree
+
+        variables = replicate_tree(mesh, variables)
+
     # device canvases padded by one tile each side so every scatter is in-bounds
     canvases = {}
     for t in tasks:
         w = output_files[t]
-        canvases[t] = jnp.zeros((w.count, w.height + th, w.width + th), jnp.uint8)
+        canvas = jnp.zeros((w.count, w.height + th, w.width + th), jnp.uint8)
+        if mesh is not None:
+            from flair_for_aigle_tpu.parallel.mesh import replicated
+
+            canvas = jax.device_put(canvas, replicated(mesh))
+        canvases[t] = canvas
 
     img_h = {t: output_files[t].height for t in tasks}
     img_w = {t: output_files[t].width for t in tasks}
@@ -368,6 +389,10 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
             if isinstance(v, np.ndarray) and k != "index"
             and not k.endswith("_RAW") and k not in config["labels"]
         }
+        if mesh is not None:
+            from flair_for_aigle_tpu.parallel.mesh import shard_batch
+
+            jb = shard_batch(mesh, jb)
         if device_labels is None:
             bsz = len(indices)
             ps = config["img_pixels_detection"]

@@ -270,3 +270,27 @@ def test_orbax_full_state_roundtrip(tmp_path):
     a = np.asarray(state.params["encoders.AERIAL_RGBI.seg_model"]["conv1"]["kernel"])
     b = np.asarray(restored.params["encoders.AERIAL_RGBI.seg_model"]["conv1"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_bf16_training_step_finite():
+    import jax
+    import jax.numpy as jnp
+
+    from flair_for_aigle_tpu.models.flair_model import FlairHubModel
+    from flair_for_aigle_tpu.train.optim import make_optimizer
+    from flair_for_aigle_tpu.train.task import TrainState, make_steps
+    from tests._fixtures import make_batch, make_config
+
+    cfg = make_config(arch="resnet18-unet", tasks=(("TASK-A", 5),))
+    cfg["hyperparams"]["compute_dtype"] = "bfloat16"
+    model = FlairHubModel(config=cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, 2, 32).items()}
+    variables = dict(model.init(jax.random.key(0), batch))
+    opt = make_optimizer(cfg["hyperparams"])
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       opt.init(variables["params"]), jnp.zeros((), jnp.int32))
+    step, eval_step, _ = make_steps(model, cfg, opt)
+    state, m = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    m2 = eval_step(state, batch)
+    assert np.isfinite(float(m2["loss"]))

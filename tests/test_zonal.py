@@ -232,3 +232,23 @@ def test_device_norm_matches_host_norm(tmp_path):
     # identical up to float32-vs-float64 normalization rounding at argmax
     agree = (host == dev).mean()
     assert agree > 0.999, f"device-norm disagreement: {1 - agree:.4%}"
+
+
+def test_zonal_data_parallel_matches_single_device(tmp_path):
+    """batch sharded over the 8-device CPU mesh -> identical canvas."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96, seed=11)
+    cfg1 = make_zonal_config(tmp_path, img)
+    cfg1["batch_size"] = 8
+    single = run_inference(dict(cfg1))
+    with open_raster(single["AERIAL_LABEL-COSIA"]) as src:
+        want = src.read(1)
+
+    cfg2 = make_zonal_config(tmp_path, img)
+    cfg2["output_name"] = "test_zonal_dp"
+    cfg2["batch_size"] = 8
+    cfg2["data_parallel_devices"] = 8
+    dp = run_inference(cfg2)
+    with open_raster(dp["AERIAL_LABEL-COSIA"]) as src:
+        got = src.read(1)
+    np.testing.assert_array_equal(want, got)
