@@ -142,3 +142,75 @@ def download_s3_config(config_path: str, run_folder: str) -> str:
     local = os.path.join(local_dir, filename)
     b3.resource("s3").Bucket(bucket_name).download_file(key, local)
     return local
+
+
+def _py7zr():
+    try:
+        import py7zr  # noqa: PLC0415
+
+        return py7zr
+    except ImportError:
+        return None
+
+
+def download_batch_archives(bucket, prefix: str, dest_folder: str) -> list:
+    """Download multi-part 7z archive pieces (reference s3.py:284-300)."""
+    os.makedirs(dest_folder, exist_ok=True)
+    parts = []
+    for obj in bucket.objects.filter(Prefix=prefix):
+        dest = os.path.join(dest_folder, os.path.basename(obj.key))
+        if not os.path.exists(dest):
+            bucket.download_file(obj.key, dest)
+        parts.append(dest)
+    return sorted(parts)
+
+
+def concatenate_and_extract(parts: list, dest_folder: str) -> None:
+    """Concatenate .7z.001... pieces and extract (reference s3.py:302-312)."""
+    if not parts:
+        return
+    archive = parts[0]
+    if len(parts) > 1:
+        archive = parts[0].rsplit(".", 1)[0]
+        with open(archive, "wb") as out:
+            for p in parts:
+                with open(p, "rb") as f:
+                    shutil.copyfileobj(f, out)
+    p7 = _py7zr()
+    if p7 is None:
+        raise RuntimeError(
+            "py7zr is not installed; extract the archive manually: " + archive
+        )
+    with p7.SevenZipFile(archive, mode="r") as z:
+        z.extractall(path=dest_folder)
+
+
+def download_extract_aerials(s3_bucket_name: str, prefix: str,
+                             dest_folder: str) -> str:
+    """Aerial archive staging (reference s3.py:314-326)."""
+    b3 = _require_s3("download aerial archives")
+    bucket = b3.resource("s3").Bucket(s3_bucket_name)
+    parts = download_batch_archives(bucket, prefix, dest_folder)
+    concatenate_and_extract(parts, dest_folder)
+    return dest_folder
+
+
+def download_extract_pleiades(s3_bucket_name: str, key: str,
+                              dest_folder: str) -> str:
+    """Pleiades zip staging (reference s3.py:328-337)."""
+    import zipfile
+
+    b3 = _require_s3("download pleiades zip")
+    os.makedirs(dest_folder, exist_ok=True)
+    local = os.path.join(dest_folder, os.path.basename(key))
+    if not os.path.exists(local):
+        b3.resource("s3").Bucket(s3_bucket_name).download_file(key, local)
+    with zipfile.ZipFile(local) as z:
+        z.extractall(dest_folder)
+    return dest_folder
+
+
+def upload_file(s3_bucket_name: str, local_path: str, key: str) -> None:
+    """Single-file upload (reference s3.py:339-356)."""
+    b3 = _require_s3("upload file")
+    b3.resource("s3").Bucket(s3_bucket_name).upload_file(local_path, key)
