@@ -117,8 +117,9 @@ def test_read_patch_helper(tmp_tif):
                                   arr[[3, 0, 1]])
 
 
-def test_jp2_clear_error(tmp_path):
+def test_invalid_jp2_clear_error(tmp_path):
+    # .jp2 now routes to the native JP2 reader; garbage input errors clearly
     p = tmp_path / "img.jp2"
     p.write_bytes(b"\x00")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((OSError, RuntimeError)):
         open_raster(str(p))
