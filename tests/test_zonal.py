@@ -252,3 +252,80 @@ def test_zonal_data_parallel_matches_single_device(tmp_path):
     with open_raster(dp["AERIAL_LABEL-COSIA"]) as src:
         got = src.read(1)
     np.testing.assert_array_equal(want, got)
+
+
+def test_run_inference_output_rescale(tmp_path):
+    """output_px_meters != reference resolution: device nearest-rescale path
+    matches the host reference loop byte-for-byte."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96, seed=5)
+    out_res = 1.0  # 2x coarser than RES=0.5
+    cfg = make_zonal_config(tmp_path, img, out_res=out_res)
+    temp_paths = run_inference(dict(cfg))
+    with open_raster(temp_paths["AERIAL_LABEL-COSIA"]) as src:
+        got = src.read(1)
+        assert (src.height, src.width) == (48, 48)
+        assert abs(src.res[0] - out_res) < 1e-9
+
+    # host reference loop with scipy-zoom rescale semantics
+    from flair_for_aigle_tpu.zonal.inference import (
+        initialize_geometry_and_resolutions,
+        prep_dataset,
+        resample_prediction,
+    )
+    from flair_for_aigle_tpu.zonal.model_utils import (
+        build_inference_model, compute_patch_sizes,
+    )
+    from flair_for_aigle_tpu.zonal.postprocess import convert
+
+    config = dict(cfg)
+    config = initialize_geometry_and_resolutions(config)
+    tiles = generate_patches_from_reference(config)
+    patch_sizes = compute_patch_sizes(config)
+    config["labels"] = ["AERIAL_LABEL-COSIA"]
+    config["labels_configs"] = {
+        "AERIAL_LABEL-COSIA": {"value_name": [f"c{i}" for i in range(5)]}
+    }
+    model, variables, _ = build_inference_model(config, patch_sizes, 1)
+    ds = prep_dataset(config, tiles, patch_sizes)
+    want = np.zeros((48, 48), np.uint8)
+    ib = config["image_bounds"]
+    for i in range(len(ds)):
+        s = ds[i]
+        batch = {k: jnp.asarray(v)[None] for k, v in s.items() if k != "index"}
+        logits, _ = model.apply(variables, batch)
+        lg = np.asarray(logits["AERIAL_LABEL-COSIA"])[0]
+        patch = lg[:, MARGIN:PATCH - MARGIN, MARGIN:PATCH - MARGIN]
+        pred = convert(patch, "argmax")
+        pred = resample_prediction(pred, RES / out_res)
+        row = tiles[i]
+        left_px = int(round((row["left"] - ib["left"]) / out_res))
+        top_px = int(round((ib["top"] - row["top"]) / out_res))
+        h = min(pred.shape[-2], 48 - top_px)
+        w = min(pred.shape[-1], 48 - left_px)
+        if h <= 0 or w <= 0:
+            continue
+        want[top_px:top_px + h, left_px:left_px + w] = pred[0, :h, :w]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_slicing_with_geozone_clip(tmp_path):
+    from flair_for_aigle_tpu.geo import geos
+
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96)
+    cfg = {
+        "img_pixels_detection": PATCH, "margin": MARGIN,
+        "output_path": str(tmp_path), "output_name": "t",
+        "reference_modality": "AERIAL_RGBI", "reference_resolution": RES,
+        "modalities": {"AERIAL_RGBI": {"input_img_path": img}},
+    }
+    # zone covering only the top-left quarter of the raster
+    zone = geos.box(10000.0, 20000.0 - 24 * RES, 10000.0 + 24 * RES, 20000.0)
+    tiles = generate_patches_from_reference(cfg, img, [zone])
+    assert len(tiles) >= 1
+    full = generate_patches_from_reference(cfg, img)
+    assert len(tiles) < len(full)
+    # no-intersection zone -> empty
+    far = geos.box(0, 0, 10, 10)
+    assert generate_patches_from_reference(cfg, img, [far]) == []
