@@ -301,6 +301,26 @@ def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
             out[task] = pred
         return out
 
+    from functools import partial as _partial
+    from jax import lax as _lax
+
+    @_partial(jax.jit, donate_argnums=(3,))
+    def step_and_stitch(variables, batch, offsets, canvases):
+        """Single dispatch per batch: forward + convert + canvas scatter."""
+        preds = step(variables, batch)
+        new = {}
+        for t, canvas in canvases.items():
+            tiles_t = preds[t]
+
+            def body(i, cv, tiles_t=tiles_t):
+                return _lax.dynamic_update_slice(
+                    cv, tiles_t[i], (0, offsets[i, 0], offsets[i, 1])
+                )
+
+            new[t] = _lax.fori_loop(0, tiles_t.shape[0], body, canvas)
+        return new
+
+    step.step_and_stitch = step_and_stitch
     return step
 
 
@@ -405,7 +425,6 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
                 for t in config["labels"]
             }
         jb.update(device_labels)
-        preds = step(variables, jb)
 
         # offsets identical for all tasks (shared grid)
         offs = np.zeros((len(indices), 2), np.int32)
@@ -417,9 +436,9 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
             left_px = int(round((row["left"] - image_bounds["left"]) / out_res))
             top_px = int(round((image_bounds["top"] - row["top"]) / out_res))
             offs[i] = (top_px, left_px)
-        offs_j = jnp.asarray(offs)
-        for t in tasks:
-            canvases[t] = stitch_tiles(canvases[t], preds[t], offs_j)
+        # fused forward+convert+scatter: one dispatch per batch
+        canvases = step.step_and_stitch(variables, jb, jnp.asarray(offs),
+                                        canvases)
 
     for t in tasks:
         canvas = np.asarray(jax.device_get(canvases[t]))
