@@ -105,3 +105,19 @@ def test_adjust_fm_length_matches_reference_math():
     # resnet-style 6 stages
     got6 = adjust_fm_length(cfg, [3, 64, 64, 128, 256, 512])
     assert got6 == [64, 64, 64, 128, 128, 128]
+
+
+def test_pan_and_dem_modalities():
+    """1-channel PAN + DEM elevation channel logic (flair_model.py:70-87)."""
+    cfg = make_config(mono=("AERIAL-RLT_PAN", "DEM_ELEV"), tasks=(("TASK-A", 4),))
+    # calc_elevation + stack_dsm -> DEM has 2 channels
+    batch = make_batch(cfg, batch=1, size=32)
+    assert batch["AERIAL-RLT_PAN"].shape[1] == 1
+    assert batch["DEM_ELEV"].shape[1] == 2
+    _, variables, (tasks, aux) = init_and_run(cfg, batch)
+    assert tasks["TASK-A"].shape == (1, 4, 32, 32)
+    # elevation-difference only -> 1 channel
+    cfg2 = make_config(mono=("DEM_ELEV",), tasks=(("TASK-A", 4),))
+    cfg2["modalities"]["pre_processings"]["calc_elevation_stack_dsm"] = False
+    from flair_for_aigle_tpu.models.flair_model import compute_channels_dict
+    assert compute_channels_dict(cfg2)["DEM_ELEV"] == 1
