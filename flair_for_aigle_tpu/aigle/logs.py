@@ -34,6 +34,9 @@ def configure_logging(log_file_path, progression_file_path,
 
     logger = logging.getLogger()
     logger.setLevel(level)
+    # replace any pre-existing handlers (e.g. basicConfig's) so records
+    # aren't emitted twice
+    logger.handlers.clear()
     file_handler = logging.FileHandler(log_file_path)
     stream_handler = logging.StreamHandler()
     fmt = logging.Formatter(

@@ -245,6 +245,7 @@ class FlairHubModel(nn.Module):
             enc = make_encoder(
                 plan["spec"].encoder_name, plan["channels"][mod],
                 name=f"encoders.{mod}.seg_model",
+                remat=cfg["models"]["monotemp_model"].get("remat", False),
             )
             fmaps[mod] = enc(self._nchw_to_nhwc(batch[mod]), train=train)
             if plan["aux_losses"].get(mod):

@@ -54,6 +54,7 @@ class TimmUniversalEncoder(nn.Module):
 
     encoder_name: str
     in_channels: int
+    remat: bool = False
 
     @property
     def out_channels(self) -> tuple[int, ...]:
@@ -64,16 +65,18 @@ class TimmUniversalEncoder(nn.Module):
         ed, depths, heads, win = _SWIN_SPECS[self.encoder_name]
         return SwinTransformerEncoder(
             in_channels=self.in_channels, embed_dim=ed, depths=depths,
-            num_heads=heads, window_size=win, name="model",
+            num_heads=heads, window_size=win, remat=self.remat, name="model",
         )(x, train=train)
 
 
-def make_encoder(encoder_name: str, in_channels: int, name: str) -> nn.Module:
+def make_encoder(encoder_name: str, in_channels: int, name: str,
+                 remat: bool = False) -> nn.Module:
     """Encoder module rooted at ``name`` with smp-compatible internal naming."""
     if encoder_name in _RESNET_SPECS:
         return ResNetEncoder(arch=encoder_name, in_channels=in_channels, name=name)
     if encoder_name in _SWIN_SPECS:
-        return TimmUniversalEncoder(encoder_name, in_channels, name=name)
+        return TimmUniversalEncoder(encoder_name, in_channels, remat=remat,
+                                    name=name)
     raise ValueError(f"Unknown encoder: {encoder_name}")
 
 
