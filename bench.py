@@ -56,14 +56,14 @@ def make_cfg(img_path: str, out_dir: str, n_classes: int = 19) -> dict:
         "cog_conversion": False,
         "model_weights": "",
         "batch_size": BATCH,
-        "num_worker": 1,
+        "num_worker": 4,
         "img_pixels_detection": PATCH,
         "margin": MARGIN,
         "output_px_meters": RES,
         "compute_dtype": "bfloat16",
         "normalize_on_device": True,
         "emit_label_placeholders": False,
-        "preload_rasters": False,
+        "preload_rasters": "auto",
         "monotemp_arch": "swin_base_patch4_window12_384-upernet",
         "multitemp_model_ref_date": "05-15",
         "modalities": {
@@ -117,7 +117,8 @@ def run_zonal(cfg: dict, model_pack=None):
         model_pack = (model, variables)
     model, variables = model_pack
     dataset = prep_dataset(cfg, tiles, patch_sizes)
-    loader = BatchedLoader(dataset, batch_size=BATCH)
+    loader = BatchedLoader(dataset, batch_size=BATCH,
+                           num_workers=cfg.get("num_worker", 1))
     ref_img = open_raster(
         cfg["modalities"][cfg["reference_modality"]]["input_img_path"]
     )

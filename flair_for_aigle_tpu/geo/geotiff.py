@@ -45,19 +45,28 @@ class BoundingBox:
 
 
 class RasterReader:
-    """Windowed reader; open with ``open_raster`` (context-manager friendly)."""
+    """Windowed reader; open with ``open_raster`` (context-manager friendly).
+
+    Thread-safe reads: libtiff TIFF* handles are single-threaded, so each
+    reading thread gets its own handle (opened lazily on first read) — the
+    multi-worker ``BatchedLoader`` reads tiles concurrently.
+    """
 
     def __init__(self, path: str):
         if not os.path.exists(path):
             raise FileNotFoundError(path)
+        import threading
+
         self._lib = load_native()
-        self._h = self._lib.gt_open(path.encode())
-        if not self._h:
-            raise OSError(f"cannot open raster: {path}")
+        self._handles_lock = threading.Lock()
+        self._handles: list = []
+        self._tls = threading.local()
+        self._closed = False
+        self.path = path
+        self._h = self._thread_handle()
         info = (ctypes.c_int64 * 8)()
         gt = (ctypes.c_double * 6)()
         self._lib.gt_info(self._h, info, gt)
-        self.path = path
         self.width = int(info[0])
         self.height = int(info[1])
         self.count = int(info[2])
@@ -69,6 +78,19 @@ class RasterReader:
         # transform[0..5] = x0, dx, 0, y0, 0, dy
         t = list(gt)
         self.transform = Affine(t[1], t[2], t[0], t[4], t[5], t[3])
+
+    def _thread_handle(self):
+        if self._closed:
+            raise OSError(f"raster is closed: {self.path}")
+        h = getattr(self._tls, "h", None)
+        if h is None:
+            h = self._lib.gt_open(self.path.encode())
+            if not h:
+                raise OSError(f"cannot open raster: {self.path}")
+            with self._handles_lock:
+                self._handles.append(h)
+            self._tls.h = h
+        return h
 
     # -- rasterio-like surface -------------------------------------------
     @property
@@ -129,7 +151,8 @@ class RasterReader:
         out = np.empty((len(bands), win.height, win.width),
                        dtype=self.dtypes[0])
         rc = self._lib.gt_read_window(
-            self._h, bands.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._thread_handle(),
+            bands.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(bands), int(win.col_off), int(win.row_off), int(win.width),
             int(win.height), out.ctypes.data_as(ctypes.c_void_p),
             float(fill_value),
@@ -143,9 +166,14 @@ class RasterReader:
         return out
 
     def close(self):
-        if getattr(self, "_h", None):
-            self._lib.gt_close(self._h)
-            self._h = None
+        if getattr(self, "_closed", True):
+            return
+        self._closed = True
+        with self._handles_lock:
+            handles, self._handles = self._handles, []
+        for h in handles:
+            self._lib.gt_close(h)
+        self._h = None
 
     def __enter__(self):
         return self

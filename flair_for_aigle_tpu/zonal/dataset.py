@@ -18,6 +18,7 @@ TPU adaptations:
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import queue
 from datetime import datetime
@@ -38,6 +39,28 @@ from flair_for_aigle_tpu.geo.windows import from_bounds
 logger = logging.getLogger(__name__)
 
 
+def _should_preload(reader, preload) -> bool:
+    """Decide whether to decode the raster fully into RAM up front.
+
+    Overlap tiling re-decodes each compressed block up to ~4x through
+    windowed reads (measured 16 ms/tile vs 0.3 ms/tile from memory on the
+    bench raster); a single sequential decode is strictly less work. Auto
+    mode preloads when the decoded array fits in half the available RAM.
+    """
+    if preload is not True and preload != "auto":
+        return bool(preload)
+    if preload is True:
+        return True
+    decoded = reader.width * reader.height * reader.count * (
+        reader.dtypes[0].itemsize
+    )
+    try:
+        avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError):
+        avail = 4 << 30
+    return decoded <= avail // 2
+
+
 class MultiModalSlicedDataset:
     def __init__(
         self,
@@ -56,10 +79,10 @@ class MultiModalSlicedDataset:
         self.fixed_t = fixed_t
 
         self.readers = {}
-        preload = modalities_config.get("preload_rasters", False)
+        preload = modalities_config.get("preload_rasters", "auto")
         for mod, cfg in modality_cfgs.items():
             reader = open_raster(cfg["input_img_path"])
-            if preload:
+            if _should_preload(reader, preload):
                 from flair_for_aigle_tpu.geo.geotiff import MemoryRaster
 
                 mem = MemoryRaster(reader)
@@ -70,7 +93,14 @@ class MultiModalSlicedDataset:
         self.mask_resolution_ratio = 1.0
         s2 = modality_cfgs.get("SENTINEL2_TS")
         if s2 and s2.get("filter_clouds") and "filter_clouds_img_path" in s2:
-            self.mask_reader = open_raster(s2["filter_clouds_img_path"])
+            mask = open_raster(s2["filter_clouds_img_path"])
+            if _should_preload(mask, preload):
+                from flair_for_aigle_tpu.geo.geotiff import MemoryRaster
+
+                mem = MemoryRaster(mask)
+                mask.close()
+                mask = mem
+            self.mask_reader = mask
             sentinel_res = self.readers["SENTINEL2_TS"].res[0]
             self.mask_resolution_ratio = sentinel_res / self.mask_reader.res[0]
 
@@ -275,6 +305,9 @@ class BatchedLoader:
             list(range(i, min(i + self.batch_size, n)))
             for i in range(0, n, self.batch_size)
         ]
+        if self.num_workers > 1:
+            yield from self._iter_pool(chunks)
+            return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
@@ -293,3 +326,30 @@ class BatchedLoader:
                 break
             yield item
         t.join()
+
+    def _iter_pool(self, chunks):
+        """num_workers > 1: batches built concurrently by a thread pool
+        (reads release the GIL in native IO), yielded strictly in order —
+        the zonal canvas scatter must preserve the reference's
+        last-write-wins tile ordering. In-flight batches are bounded by
+        ``prefetch`` to cap host memory.
+
+        Reference parity: DataLoader(num_workers)
+        (flair_zonal_detection/inference.py:662, datamodule.py:96-103).
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        in_flight = max(self.prefetch, self.num_workers)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = deque()
+            it = iter(chunks)
+            for chunk in it:
+                pending.append(pool.submit(self._make_batch, chunk))
+                if len(pending) >= in_flight:
+                    break
+            while pending:
+                yield pending.popleft().result()
+                for chunk in it:
+                    pending.append(pool.submit(self._make_batch, chunk))
+                    break
