@@ -239,9 +239,15 @@ class FlairDataModule:
 
     def setup(self, stage: Optional[str] = None):
         if stage in ("fit", "validate"):
+            # seeded augmentation rng: the reference's seed_everything seeds
+            # numpy globally, which its np.random-based augs consume
+            # (tasks/stages.py:36, utils_data/augmentations.py)
             self.train_dataset = FlairDataset(
                 self.config, self.dict_train,
                 use_augmentations=self.use_augmentations or None,
+                rng=np.random.default_rng(
+                    self.config["hyperparams"].get("seed", 0)
+                ),
             )
             self.val_dataset = FlairDataset(self.config, self.dict_val, None)
         elif stage == "predict":

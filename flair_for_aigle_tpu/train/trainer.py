@@ -211,8 +211,14 @@ def train(config: Dict[str, Any], data_module, model, variables,
 
     for epoch in range(num_epochs):
         # ---- train -----------------------------------------------------
-        loss_sum, n_batches = 0.0, 0
-        confmats: Dict[str, np.ndarray] = {}
+        # accumulate loss/confmats/NaN-count as lazy device arrays: a
+        # per-step float() would block on every step and defeat async
+        # dispatch (round-1 measured 334 ms/step partly from this); one
+        # device_get per epoch instead.
+        n_batches = 0
+        loss_dev = None
+        nonfinite_dev = None
+        confmats_dev: Dict[str, Any] = {}
         for batch in train_loader:
             batch = _array_batch(batch)
             batch, _ = pad_batch_to(batch, batch_size)
@@ -223,14 +229,26 @@ def train(config: Dict[str, Any], data_module, model, variables,
             )
             rng, sub = jax.random.split(rng)
             state, m = train_step(state, batch, sub)
-            loss_sum += float(m["loss"])
-            if not np.isfinite(float(m["loss"])):
-                logger.info("NaN or Inf detected in loss at step %d",
-                            global_step)
+            step_nf = (~jnp.isfinite(m["loss"])).astype(jnp.int32)
+            if loss_dev is None:
+                loss_dev, nonfinite_dev = m["loss"], step_nf
+            else:
+                loss_dev = loss_dev + m["loss"]
+                nonfinite_dev = nonfinite_dev + step_nf
             for t, cm in m["confmats"].items():
-                confmats[t] = confmats.get(t, 0) + np.asarray(cm)
+                confmats_dev[t] = (cm if t not in confmats_dev
+                                   else confmats_dev[t] + cm)
             n_batches += 1
             global_step += 1
+        loss_sum = float(jax.device_get(loss_dev)) if n_batches else 0.0
+        n_nonfinite = int(jax.device_get(nonfinite_dev)) if n_batches else 0
+        if n_nonfinite:
+            # reference tasks_module.py:196-206 logs per step; device-side
+            # accumulation reports the epoch count instead
+            logger.info("NaN or Inf detected in loss at %d step(s) of epoch %d",
+                        n_nonfinite, epoch)
+        confmats = {t: np.asarray(jax.device_get(cm))
+                    for t, cm in confmats_dev.items()}
         train_metrics = _epoch_metrics(confmats, loss_sum, n_batches, "train")
         tb.scalar("train_loss", train_metrics["train_loss"], epoch)
         tb.scalar("train_miou", train_metrics["train_miou"], epoch)
@@ -263,17 +281,22 @@ def train(config: Dict[str, Any], data_module, model, variables,
 
 def validate(config, val_loader, eval_step, state, mesh, batch_size
              ) -> Dict[str, float]:
-    loss_sum, n_batches = 0.0, 0
-    confmats: Dict[str, np.ndarray] = {}
+    n_batches = 0
+    loss_dev = None
+    confmats_dev: Dict[str, Any] = {}
     for batch in val_loader:
         batch = _array_batch(batch)
         batch, _ = pad_batch_to(batch, batch_size)
         batch = shard_batch(mesh, batch)
         m = eval_step(state, batch)
-        loss_sum += float(m["loss"])
+        loss_dev = m["loss"] if loss_dev is None else loss_dev + m["loss"]
         for t, cm in m["confmats"].items():
-            confmats[t] = confmats.get(t, 0) + np.asarray(cm)
+            confmats_dev[t] = (cm if t not in confmats_dev
+                               else confmats_dev[t] + cm)
         n_batches += 1
+    loss_sum = float(jax.device_get(loss_dev)) if n_batches else 0.0
+    confmats = {t: np.asarray(jax.device_get(cm))
+                for t, cm in confmats_dev.items()}
     return _epoch_metrics(confmats, loss_sum, n_batches, "val")
 
 
