@@ -40,6 +40,31 @@ def is_rank_zero() -> bool:
     return process_index() == 0
 
 
+def all_sum_host(array):
+    """Sum a host numpy array across all processes.
+
+    TPU-native equivalent of the reference's predict-path confusion-matrix
+    reduction (torch.distributed.all_gather + rank-0 sum,
+    /root/reference/flair_hub/writer/prediction_writer.py:68-87). Identity
+    in single-process runs; otherwise an allgather over the process axis
+    (every process returns the same global sum).
+    """
+    import numpy as np
+
+    try:
+        import jax
+
+        n_proc = jax.process_count()
+    except Exception:
+        n_proc = 1
+    if n_proc == 1:
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(array))
+    return np.asarray(gathered).sum(axis=0)
+
+
 def rank_zero_only(fn):
     """Decorator: run only on process 0 (reference uses Lightning's)."""
 

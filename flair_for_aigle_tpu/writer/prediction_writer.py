@@ -17,7 +17,11 @@ from typing import Dict
 import numpy as np
 
 from flair_for_aigle_tpu.geo.geotiff import open_raster, write_geotiff
-from flair_for_aigle_tpu.parallel.dist import is_rank_zero, rank_zero_only
+from flair_for_aigle_tpu.parallel.dist import (
+    all_sum_host,
+    is_rank_zero,
+    rank_zero_only,
+)
 from flair_for_aigle_tpu.writer.metrics_utils import compute_and_save_metrics
 
 logger = logging.getLogger(__name__)
@@ -81,6 +85,10 @@ class PredictionWriter:
             if confmat is None:
                 n = len(self.config["labels_configs"][task]["value_name"])
                 confmat = np.zeros((n, n), dtype=int)
+            # reduce shard-local confmats across processes (reference
+            # prediction_writer.py:68-87: all_gather + rank-0 sum)
+            confmat = all_sum_host(confmat)
+            self.accumulated_confmats[task] = confmat
             if is_rank_zero():
                 compute_and_save_metrics(confmat, self.config,
                                          self.output_dir, task, mode="predict")
