@@ -81,6 +81,7 @@ class CheckpointCallback:
         self.monitor = saving.get("ckpt_monitor", "val_miou")
         self.mode = saving.get("ckpt_monitor_mode", "max")
         self.save_last = saving.get("ckpt_save_also_last", False)
+        self.save_orbax = saving.get("save_full_state_orbax", False)
         self.patience = saving.get("ckpt_earlystopping_patience", 20)
         self.dirpath = Path(out_dir, "checkpoints")
         self.dirpath.mkdir(parents=True, exist_ok=True)
@@ -117,6 +118,10 @@ class CheckpointCallback:
             save_state_safetensors(
                 state, str(self.dirpath / f"last_{self.out_model_name}.safetensors")
             )
+        if self.save_orbax and is_rank_zero():
+            save_orbax_checkpoint(
+                state, str(self.dirpath / f"orbax_last_{self.out_model_name}")
+            )
 
 
 def save_state_safetensors(state: TrainState, path: str) -> None:
@@ -133,7 +138,10 @@ def save_state_safetensors(state: TrainState, path: str) -> None:
 
 
 def save_orbax_checkpoint(state: TrainState, path: str) -> None:
-    """Full training state (params + optimizer) via orbax for exact resume."""
+    """Full training state (params + batch stats + OPTIMIZER state + step)
+    via orbax for exact resume — beyond the reference's weights-only resume
+    (trainers.py:94-104). Enable per-epoch saves with the
+    ``saving.save_full_state_orbax`` config flag."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -141,6 +149,7 @@ def save_orbax_checkpoint(state: TrainState, path: str) -> None:
         os.path.abspath(path),
         {"params": jax.device_get(state.params),
          "batch_stats": jax.device_get(state.batch_stats),
+         "opt_state": jax.device_get(state.opt_state),
          "step": int(state.step)},
         force=True,
     )
@@ -199,6 +208,22 @@ def train(config: Dict[str, Any], data_module, model, variables,
                                exit_on_fail=False)
         state = state._replace(params=replicate_tree(mesh, v["params"]),
                                batch_stats=replicate_tree(mesh, v["batch_stats"]))
+
+    orbax_resume = config["tasks"]["train_tasks"].get(
+        "resume_full_state_from_orbax"
+    )
+    if orbax_resume:
+        # full-state resume (params + optimizer + step); the reference's
+        # resume is weights-only (trainers.py:94-104) — this is an
+        # explicitly opt-in extension, off by default for parity
+        state = restore_orbax_checkpoint(orbax_resume, state)
+        state = state._replace(
+            params=replicate_tree(mesh, state.params),
+            batch_stats=replicate_tree(mesh, state.batch_stats),
+            opt_state=replicate_tree(mesh, state.opt_state),
+        )
+        logger.info("Resumed full training state from %s (step %d)",
+                    orbax_resume, int(state.step))
 
     train_step, eval_step, _ = make_steps(model, config, optimizer,
                                           aux_loss_fix=aux_loss_fix)
@@ -323,17 +348,20 @@ def predict(config: Dict[str, Any], data_module, model, state: TrainState,
 
 
 def restore_orbax_checkpoint(path: str, state: TrainState) -> TrainState:
-    """Restore params/batch_stats saved by save_orbax_checkpoint (full-state
-    resume beyond the reference's weights-only resume)."""
+    """Restore the full state saved by save_orbax_checkpoint (params, batch
+    stats, optimizer state, step). Config flag:
+    ``tasks.train_tasks.resume_full_state_from_orbax: <path>``."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     target = {"params": jax.device_get(state.params),
               "batch_stats": jax.device_get(state.batch_stats),
+              "opt_state": jax.device_get(state.opt_state),
               "step": 0}
     restored = ckptr.restore(os.path.abspath(path), target)
     return state._replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
         step=jnp.asarray(restored["step"], jnp.int32),
     )

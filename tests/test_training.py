@@ -270,6 +270,54 @@ def test_orbax_full_state_roundtrip(tmp_path):
     a = np.asarray(state.params["encoders.AERIAL_RGBI.seg_model"]["conv1"]["kernel"])
     b = np.asarray(restored.params["encoders.AERIAL_RGBI.seg_model"]["conv1"]["kernel"])
     np.testing.assert_array_equal(a, b)
+    # optimizer state restored exactly (full-state resume, not weights-only)
+    import jax as _jax
+
+    for x, y in zip(_jax.tree_util.tree_leaves(state.opt_state),
+                    _jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_orbax_resume_config_flag(tmp_path):
+    """tasks.train_tasks.resume_full_state_from_orbax resumes step count and
+    optimizer state through the train() driver."""
+    import jax
+    import jax.numpy as jnp
+
+    from flair_for_aigle_tpu.models.flair_model import FlairHubModel
+    from flair_for_aigle_tpu.train.trainer import train
+    from tests._fixtures import make_batch, make_config
+
+    cfg = make_config(arch="resnet18-unet", tasks=(("TASK-A", 3),))
+    cfg["hyperparams"].update(batch_size=2, num_epochs=1)
+    cfg["saving"] = {"ckpt_monitor": "val_miou", "ckpt_monitor_mode": "max",
+                     "save_full_state_orbax": True,
+                     "ckpt_earlystopping_patience": 20}
+    cfg["paths"] = {"out_model_name": "orbax-toy"}
+    cfg["tasks"] = {"train": True, "train_tasks": {}}
+
+    class _DM:
+        def setup(self, stage):
+            pass
+
+        def _loader(self):
+            return [make_batch(cfg, 2, 32, seed=s) for s in range(2)]
+
+        train_dataloader = _loader
+        val_dataloader = _loader
+
+    model = FlairHubModel(config=cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, 2, 32).items()}
+    variables = dict(model.init(jax.random.key(0), batch))
+
+    _, state1 = train(cfg, _DM(), model, variables, str(tmp_path))
+    assert int(state1.step) == 2
+    orbax_path = tmp_path / "checkpoints" / "orbax_last_orbax-toy"
+    assert orbax_path.exists()
+
+    cfg["tasks"]["train_tasks"]["resume_full_state_from_orbax"] = str(orbax_path)
+    _, state2 = train(cfg, _DM(), model, variables, str(tmp_path))
+    assert int(state2.step) == 4  # resumed at 2, trained 2 more
 
 
 def test_bf16_training_step_finite():
