@@ -2,11 +2,18 @@
 (reference utils/export.py).
 
 Records flow: class remap via Mapper (water->plan d'eau, -1 dropped),
-per-class min-max confidence normalization, then either SQL emission or
-GPKG. Without a Postgres driver in this image, ``export_sql=True`` writes
-the INSERT statements (batch row + 50k-chunked detections with
-SRID-prefixed WKT geometry, matching reference export.py:54-69) to a .sql
-file ready for psql; a live-DB path hooks in when psycopg2 is available.
+per-class min-max confidence normalization, then export. With
+``export_sql=True``:
+
+* if a database is reachable (``db=`` argument or ``DB_STRING_PROD`` DSN
+  with an importable driver — aigle/db.py), run the live transaction:
+  batch row insert RETURNING id, then 50k-chunked detection inserts with
+  SRID-prefixed WKT geometry, rolled back atomically on any failure
+  (reference export.py:48-115);
+* otherwise fall back to writing the same statements to a .sql file ready
+  for psql.
+
+A GPKG dump is always written (reference export.py:117-125).
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ import logging
 import os
 from typing import Any, Dict, List
 
+from flair_for_aigle_tpu.aigle.db import Database, DatabaseError, sql_quote
 from flair_for_aigle_tpu.geo.crs import transform_geometry
 from flair_for_aigle_tpu.geo.gpkg import write_gpkg
 
@@ -42,14 +50,17 @@ class Exporter:
             })
         return out
 
-    def _batch_insert_sql(self, export_context: Dict[str, Any]) -> str:
+    def _batch_insert_sql(self, export_context: Dict[str, Any],
+                          id_expr: str = "nextval('detections.batch_id_seq'"
+                                         "::regclass)") -> str:
         return (
             "INSERT INTO detections.batch (id, batch_name, created_at, "
             "model_id, batch_tiles_url, description) VALUES("
-            "nextval('detections.batch_id_seq'::regclass), "
-            f"'{export_context['batch_name']}', "
-            f"'{datetime.datetime.now()}', {export_context['model_id']}, '', "
-            f"'{export_context['description']}') RETURNING id;"
+            f"{id_expr}, "
+            f"'{sql_quote(export_context['batch_name'])}', "
+            f"'{datetime.datetime.now()}', "
+            f"{int(export_context['model_id'])}, '', "
+            f"'{sql_quote(export_context['description'])}') RETURNING id;"
         )
 
     def _detection_insert_sql(self, rows: List[dict]) -> List[str]:
@@ -57,7 +68,8 @@ class Exporter:
         for i in range(0, len(rows), self.export_batch_size):
             chunk = rows[i:i + self.export_batch_size]
             values = ",\n".join(
-                f"({r['batch_id']}, {r['score']}, '{r['object_type']}', "
+                f"({r['batch_id']}, {r['score']}, "
+                f"'{sql_quote(r['object_type'])}', "
                 f"'{r['geometry_ewkt']}')"
                 for r in chunk
             )
@@ -68,8 +80,55 @@ class Exporter:
             )
         return stmts
 
+    def insert_batch_object(self, db: Database,
+                            export_context: Dict[str, Any]) -> int:
+        """Create the detections.batch row, returning its id
+        (reference export.py:48-58)."""
+        sql = self._batch_insert_sql(
+            export_context, id_expr=db.next_id_expr("detections.batch_id_seq")
+        )
+        batch_id = db.execute_returning_id(sql.rstrip(";"))
+        logger.info("batch initialized in db - id : %s, name : %s",
+                    batch_id, export_context["batch_name"])
+        return batch_id
+
+    def insert_batch_detections(self, db: Database, rows: List[dict],
+                                chunk_size: int | None = None) -> None:
+        """50k-chunked detection inserts (reference export.py:60-71)."""
+        chunk_size = chunk_size or self.export_batch_size
+        n_chunks = max(1, -(-len(rows) // chunk_size))
+        for i in range(0, len(rows), chunk_size):
+            logger.info("inserting inference batch %d/%d in db...",
+                        i // chunk_size + 1, n_chunks)
+            chunk = rows[i:i + chunk_size]
+            values = ",\n".join(
+                f"({r['batch_id']}, {r['score']}, "
+                f"'{sql_quote(r['object_type'])}', '{r['geometry_ewkt']}')"
+                for r in chunk
+            )
+            db.execute(
+                "INSERT INTO detections.inference "
+                f"(batch_id, score, object_type, geometry) VALUES\n{values}"
+            )
+        logger.info("batch detections inserted in db")
+
+    def export_to_db(self, db: Database, work: List[dict],
+                     export_context: Dict[str, Any]) -> int:
+        """Atomic live export: batch row + detections in one transaction,
+        rolled back on any failure (reference export.py:107-115)."""
+        try:
+            with db.transaction():
+                batch_id = self.insert_batch_object(db, export_context)
+                rows = self.transform_to_inference_table(work, batch_id)
+                self.insert_batch_detections(db, rows)
+            return batch_id
+        except Exception as e:
+            logger.error("Transaction failed: %s", e)
+            raise
+
     def export_to_aigle(self, records: List[dict], target_export_crs: str,
-                        output_folder: str, mapper, export_context: Dict) -> str:
+                        output_folder: str, mapper, export_context: Dict,
+                        db: Database | None = None) -> str:
         self.target_export_crs = target_export_crs
         os.makedirs(output_folder, exist_ok=True)
 
@@ -99,18 +158,29 @@ class Exporter:
 
         batch_id = -1
         if export_context.get("export_sql"):
-            rows = self.transform_to_inference_table(work, batch_id=0)
-            sql_path = os.path.join(
-                output_folder,
-                f"batch_segmentations_{export_context['batch_name']}.sql",
-            )
-            with open(sql_path, "w") as f:
-                f.write("BEGIN;\n")
-                f.write(self._batch_insert_sql(export_context) + "\n")
-                for stmt in self._detection_insert_sql(rows):
-                    f.write(stmt + "\n")
-                f.write("COMMIT;\n")
-            logger.info("SQL export written to %s (apply with psql)", sql_path)
+            if db is None and self.db_string_aigle:
+                try:
+                    db = Database.connect(self.db_string_aigle)
+                except DatabaseError as e:
+                    logger.warning(
+                        "DB unreachable (%s); falling back to .sql emission", e
+                    )
+            if db is not None:
+                batch_id = self.export_to_db(db, work, export_context)
+            else:
+                rows = self.transform_to_inference_table(work, batch_id=0)
+                sql_path = os.path.join(
+                    output_folder,
+                    f"batch_segmentations_{export_context['batch_name']}.sql",
+                )
+                with open(sql_path, "w") as f:
+                    f.write("BEGIN;\n")
+                    f.write(self._batch_insert_sql(export_context) + "\n")
+                    for stmt in self._detection_insert_sql(rows):
+                        f.write(stmt + "\n")
+                    f.write("COMMIT;\n")
+                logger.info("SQL export written to %s (apply with psql)",
+                            sql_path)
 
         rows = self.transform_to_inference_table(work, batch_id=batch_id)
         gpkg_name = f"batch_segmentations_{export_context['batch_name']}.gpkg"

@@ -83,16 +83,48 @@ def prepare_local_data_folder(s3_bucket_name, s3_aerial_src, s3_db_topo_src,
     return images_folder, experiment_data_folder, "", ""
 
 
-def prepare_local_model_folder(run_folder: str, model_id) -> Tuple[str, str]:
-    """Model registry lookup. Without Postgres access, resolves a local
-    layout ``<run_folder>/models/<model_id>/`` holding the checkpoint +
-    optional best_thresholds.yaml (reference s3.py:26-98)."""
+def prepare_local_model_folder(run_folder: str, model_id,
+                               db=None) -> Tuple[str, str]:
+    """Model registry lookup (reference s3.py:26-98): resolve the model row
+    in Postgres ``detections.model`` and pull ``model_path`` from S3 via
+    ``aws s3 cp --recursive``; fall back to a pre-staged local layout
+    ``<run_folder>/models/<model_id>/`` when no DB is reachable."""
     model_dir = os.path.join(run_folder, "models", str(model_id))
     if not os.path.isdir(model_dir):
-        raise FileNotFoundError(
-            f"Model folder not found: {model_dir}. Without DB/S3 access, "
-            "stage <run_folder>/models/<model_id>/ with the checkpoint."
+        from flair_for_aigle_tpu.aigle.db import (
+            DatabaseError,
+            connect_from_env,
+            lookup_model_row,
         )
+
+        try:
+            db = db or connect_from_env()
+            if db is None:
+                raise DatabaseError("DB_STRING_PROD not set")
+            logger.info("Initializing ml model configuration from id: %s",
+                        model_id)
+            row = lookup_model_row(db, model_id)
+            model_s3_path = row["model_path"]
+            os.makedirs(model_dir, exist_ok=True)
+            if shutil.which("aws") is None:
+                raise FileNotFoundError(
+                    f"aws CLI unavailable to fetch {model_s3_path}"
+                )
+            logger.info("Downloading model from %s to %s ...",
+                        model_s3_path, model_dir)
+            proc = subprocess.run(
+                ["aws", "s3", "cp", model_s3_path, model_dir, "--recursive"],
+                check=True, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for line in (proc.stdout or "").splitlines():
+                logger.info("S3 SYNC : %s", line)
+        except DatabaseError as e:
+            raise FileNotFoundError(
+                f"Model folder not found: {model_dir} and the registry "
+                f"lookup is unavailable ({e}). Stage "
+                "<run_folder>/models/<model_id>/ with the checkpoint."
+            ) from e
     ckpt = None
     thresholds = ""
     for f in sorted(os.listdir(model_dir)):

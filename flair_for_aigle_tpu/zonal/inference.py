@@ -189,17 +189,57 @@ def resample_prediction(prediction: np.ndarray, scale: float) -> np.ndarray:
     return np.asarray(zoom_nearest(np.asarray(prediction), scale))
 
 
-def load_geozone_contour(config) -> list:
+def load_geozone_contour(config, db=None) -> list:
     """Reference inference.py:229-252: cached geozone file filtered by
-    iso_code (PostGIS fallback is out of scope without a DB driver; a clear
-    error is raised when the cache file is absent)."""
+    iso_code; when the cache is absent, falls back to querying
+    ``detections.fr_geozone_view`` (reference uses read_postgis) through
+    aigle/db.py and writes the cache for subsequent runs."""
     geo_file = os.getenv("GEOZONES_SHAPEFILE", "")
     shp = os.path.join(getattr(config, "db_sources", "."), geo_file)
     if not geo_file or not os.path.isfile(shp):
-        raise FileNotFoundError(
-            f"Geozones cache file not found: {shp} (PostGIS fallback requires "
-            "a database driver; provide the cached geozones GPKG)"
+        logger.warning("Geozones cache file not found, expecting: %s", shp)
+        from flair_for_aigle_tpu.aigle.db import (
+            DatabaseError,
+            connect_from_env,
+            fetch_geozones,
         )
+
+        try:
+            db = db or connect_from_env()
+            if db is None:
+                raise DatabaseError("DB_STRING_PROD not set")
+            logger.info("Querying geozones from aigle bd topo...")
+            from flair_for_aigle_tpu.geo.geos import from_wkt
+            from flair_for_aigle_tpu.geo.gpkg import write_gpkg
+
+            recs = []
+            for row in fetch_geozones(db):
+                recs.append({
+                    "geometry": from_wkt(row["geometry"]),
+                    "id": row.get("id"),
+                    "name": row.get("name"),
+                    "geo_zone_type": row.get("geo_zone_type"),
+                    "name_normalized": row.get("name_normalized"),
+                    "iso_code": row.get("iso_code"),
+                })
+            if geo_file and shp.lower().endswith(".gpkg"):
+                crs = getattr(config, "input_crs", None) or "EPSG:2154"
+                write_gpkg(shp, recs, layer="geozones", crs=crs)
+                logger.info("Geozones cache created at %s", shp)
+            else:
+                # no cache location configured: filter in memory
+                code = getattr(config, "geozones_codes", "all")
+                return [
+                    r["geometry"] for r in recs
+                    if code in ("all", None)
+                    or str(r.get("iso_code")) in str(code).split(",")
+                ]
+        except DatabaseError as e:
+            raise FileNotFoundError(
+                f"Geozones cache file not found: {shp} and the PostGIS "
+                f"fallback is unavailable ({e}); provide the cached "
+                "geozones GPKG or a reachable DB_STRING_PROD"
+            ) from e
     records, crs = read_gpkg(shp)
     code = getattr(config, "geozones_codes", "all")
     out = []
