@@ -36,7 +36,7 @@ from flair_for_aigle_tpu.geo.geotiff import WindowedWriter, open_raster
 from flair_for_aigle_tpu.geo.gpkg import read_gpkg
 from flair_for_aigle_tpu.geo.polygonize import raster_to_polygons as _raster_to_polys
 from flair_for_aigle_tpu.geo.windows import Window, from_origin
-from flair_for_aigle_tpu.ops.pallas.stitch import stitch_tiles
+from flair_for_aigle_tpu.ops.stitch import stitch_tiles
 from flair_for_aigle_tpu.ops.resize import zoom_nearest
 from flair_for_aigle_tpu.zonal.config import (
     config_recap_1,

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from flair_for_aigle_tpu.geo.geotiff import open_raster, write_geotiff
 from flair_for_aigle_tpu.geo.windows import Window, from_origin
 from flair_for_aigle_tpu.models.checkpoint import export_torch_state_dict
-from flair_for_aigle_tpu.ops.pallas.stitch import stitch_tiles
+from flair_for_aigle_tpu.ops.stitch import stitch_tiles
 from flair_for_aigle_tpu.zonal.inference import run_inference
 from flair_for_aigle_tpu.zonal.slicing import generate_patches_from_reference
 
@@ -198,19 +198,6 @@ def test_canvas_matches_host_reference_loop(tmp_path):
         w = min(pred.shape[-1], 96 - left_px)
         want[top_px:top_px + h, left_px:left_px + w] = pred[0, :h, :w]
     np.testing.assert_array_equal(got, want)
-
-
-def test_stitch_pallas_matches_lax():
-    import jax.numpy as jnp
-    from flair_for_aigle_tpu.ops.pallas.stitch import stitch_tiles_pallas
-
-    rng = np.random.default_rng(1)
-    tiles = jnp.asarray(rng.integers(0, 255, (5, 2, 8, 8)).astype(np.uint8))
-    offs = jnp.asarray(rng.integers(0, 30, (5, 2)).astype(np.int32))
-    base = jnp.zeros((2, 40, 50), jnp.uint8)
-    got = stitch_tiles_pallas(base, tiles, offs, interpret=True)
-    want = stitch_tiles(jnp.zeros((2, 40, 50), jnp.uint8), tiles, offs)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_device_norm_matches_host_norm(tmp_path):
