@@ -10,10 +10,12 @@ configs/config_model_zonal_segmentation.yaml:17-21). Weights are random
 epilogue. A small warmup raster triggers compilation before timing.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` divides by an estimated reference throughput of 300 km²/h
-for the PyTorch stack on one A100 (the reference publishes no throughput —
-BASELINE.json "published": {} — this estimate assumes ~25 img/s fp16
-swin-base-upernet 512px plus host-side stitching overhead).
+``vs_baseline`` divides by a GROUNDED A100 reference estimate of 900 km²/h
+(the reference publishes no throughput). Derivation in BASELINE.md
+"Grounded A100 baseline": 299 GF/tile (published mmseg figure for
+upernet+swin-base @512²) x eager-torch efficiency measured on this host
+(23% of practical peak) x A100 TF32 peak -> 120 tiles/s compute-bound,
+plus ~2.8 s/km² for the reference's serial per-tile host stitch.
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-A100_BASELINE_KM2_PER_H = 300.0
+A100_BASELINE_KM2_PER_H = 900.0  # grounded derivation: BASELINE.md round-2 section
 
 PATCH = 512
 MARGIN = 40
@@ -182,7 +184,8 @@ def main():
             "patch": PATCH, "margin": MARGIN, "batch": BATCH,
             "arch": "swin_base_patch4_window12_384-upernet",
             "baseline_estimate_note":
-                "A100 reference estimated at 300 km2/h (no published number)",
+                "A100 reference grounded at 900 km2/h (BASELINE.md: measured "
+                "eager-torch efficiency x TF32 peak + serial host stitch)",
         },
     }))
 

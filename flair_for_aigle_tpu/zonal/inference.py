@@ -434,6 +434,35 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
     img_h = {t: output_files[t].height for t in tasks}
     img_w = {t: output_files[t].width for t in tasks}
 
+    # Striped async D2H: the shared-tunnel D2H runs at ~10-20 MB/s, so a
+    # monolithic canvas fetch after the last batch costs seconds of dead
+    # tail. Tiles arrive in grid order, so once every remaining tile starts
+    # at or below row y, rows [0, y) are final (last-write-wins preserved)
+    # and can stream to the host while the device keeps computing.
+    n_total = len(tiles)
+    tile_tops = np.empty(n_total, np.int64)
+    for i, row in enumerate(tiles):
+        tile_tops[i] = int(round((image_bounds["top"] - row["top"]) / out_res))
+    future_min_top = np.empty(n_total + 1, np.int64)
+    future_min_top[n_total] = img_h[tasks[0]]
+    for i in range(n_total - 1, -1, -1):
+        future_min_top[i] = min(tile_tops[i], future_min_top[i + 1])
+    fetched_to = 0
+    stripes: Dict[str, list] = {t: [] for t in tasks}
+    consumed = 0
+    stripe_min_rows = 256
+
+    def fetch_final_stripes(frontier: int) -> None:
+        nonlocal fetched_to
+        frontier = min(int(frontier), img_h[tasks[0]])
+        if frontier - fetched_to < stripe_min_rows:
+            return
+        for t in tasks:
+            stripe = canvases[t][:, fetched_to:frontier, : img_w[t]]
+            stripe.copy_to_host_async()
+            stripes[t].append((fetched_to, stripe))
+        fetched_to = frontier
+
     logger.info("[ ] Starting inference and on-device stitching ...")
     # The dataset emits reference-parity extras (``*_RAW`` copies and big
     # zero-filled label tensors) that the forward never consumes — shipping
@@ -479,12 +508,18 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         # fused forward+convert+scatter: one dispatch per batch
         canvases = step.step_and_stitch(variables, jb, jnp.asarray(offs),
                                         canvases)
+        consumed += int(valid)
+        fetch_final_stripes(future_min_top[min(consumed, n_total)])
 
     for t in tasks:
-        canvas = np.asarray(jax.device_get(canvases[t]))
-        canvas = canvas[:, : img_h[t], : img_w[t]]
+        if fetched_to < img_h[t]:
+            stripe = canvases[t][:, fetched_to:img_h[t], : img_w[t]]
+            stripe.copy_to_host_async()
+            stripes[t].append((fetched_to, stripe))
         w = output_files[t]
-        w.canvas[...] = canvas
+        for y0, stripe in stripes[t]:
+            arr = np.asarray(stripe)
+            w.canvas[:, y0:y0 + arr.shape[1], :] = arr
         w.close()
     logger.info("[ok] canvases written")
 
