@@ -216,6 +216,41 @@ class Jp2Reader:
         self.close()
 
 
+def write_jp2(path: str, components: Sequence[np.ndarray],
+              dx: Sequence[int] | None = None,
+              dy: Sequence[int] | None = None, prec: int = 8,
+              transform: Affine | None = None,
+              crs: str | None = None) -> None:
+    """Lossless JP2 encode of planar components via native/jp2io.cc.
+
+    Each component may carry its own sampling factors (dx/dy > 1 =
+    subsampled, at size ceil(H/dy) x ceil(W/dx) of the reference grid set
+    by component 0). Used for test fixtures (production IGN JP2s have
+    subsampled chroma) and JP2 export.
+    """
+    lib = _declare(load_native())
+    if not lib.jp2_available():
+        raise RuntimeError("libopenjp2.so.7 unavailable; cannot write JP2")
+    n = len(components)
+    dx = list(dx or [1] * n)
+    dy = list(dy or [1] * n)
+    h, w = components[0].shape
+    flat = np.concatenate(
+        [np.ascontiguousarray(c, np.int32).ravel() for c in components]
+    ).astype(np.int32)
+    dxa = np.asarray(dx, np.int32)
+    dya = np.asarray(dy, np.int32)
+    rc = lib.jp2_write(
+        path.encode(), flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(w), int(h), n, dxa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dya.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), int(prec),
+    )
+    if rc != 0:
+        raise OSError(f"JP2 encode failed ({rc}): {path}")
+    if transform is not None and crs is not None:
+        append_geojp2_box(path, transform, crs)
+
+
 def append_geojp2_box(path: str, transform: Affine, crs: str) -> None:
     """Append a GeoJP2 uuid box to an existing .jp2 (test/tooling helper:
     PIL writes plain JP2s without georeferencing)."""

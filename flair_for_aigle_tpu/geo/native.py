@@ -56,6 +56,12 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.jp2_write.restype = ctypes.c_int
+        lib.jp2_write.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
         lib.plg_polygonize.restype = ctypes.c_int64
         lib.plg_polygonize.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8,
