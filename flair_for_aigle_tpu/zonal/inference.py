@@ -138,12 +138,20 @@ def prep_dataset(config: Dict, tiles, patch_sizes: Dict[str, int]
                                    else list(t["class_names"]))}
         for t in config["tasks"] if t["active"]
     }
+    n_dp = config.get("data_parallel_devices") or 1
+    modalities_config = config
+    if n_dp <= 1 and device_tiling_plan(config) is not None:
+        # HBM-resident tiling reads each raster exactly once (row stripes
+        # straight to the device); a MemoryRaster preload would decode the
+        # whole file a second time for nothing.
+        modalities_config = dict(config)
+        modalities_config["preload_rasters"] = False
     return MultiModalSlicedDataset(
         tiles=tiles,
         modality_cfgs=modality_cfgs,
         patch_size_dict=patch_sizes,
         ref_date_str=config.get("multitemp_model_ref_date", "01-01"),
-        modalities_config=config,
+        modalities_config=modalities_config,
         fixed_t=config.get("fixed_time_steps"),
     )
 
@@ -259,7 +267,102 @@ def load_geozone_contour(config, db=None) -> list:
 # ---------------------------------------------------------------------------
 
 
+def device_tiling_plan(config: Dict) -> Dict | None:
+    """Decide whether inference can run from HBM-resident rasters.
+
+    The resident path ships each modality raster across the tunnel once and
+    gathers/normalizes tiles on device; at reference defaults (512 px patch,
+    40 px margin) the per-tile H2D path re-sends ~1.5x the raster bytes in
+    window overlaps, and every byte costs when the chip sits behind a shared
+    tunnel. Conditions (``device_resident_tiles``: auto/True/False):
+
+    * no time-series modality active (TS tiles need host-side cloud filtering
+      against a second raster + date metadata),
+    * every active modality at the reference resolution (no per-window
+      resample; reference model_utils.py:11-35 sizes coarser modalities
+      differently),
+    * normalization expressible on device ('custom'/'scaling'/'without');
+      in "auto" mode 'custom' additionally requires ``normalize_on_device``
+      (the host computes it in float64 — reference norm.py:8-52 — so the
+      f32 device version is only used when the config opted in),
+    * decoded rasters fit in ``device_tiles_max_bytes`` (default 3 GiB).
+    """
+    flag = config.get("device_resident_tiles", "auto")
+    if not flag:
+        return None
+    active = [m for m, a in config["modalities"]["inputs"].items() if a]
+    if any(m.endswith("_TS") for m in active):
+        return None
+    ref_res = config["reference_resolution"]
+    norm_specs: Dict[str, tuple] = {}
+    total_bytes = 0
+    for mod in active:
+        if abs(config["modality_resolutions"][mod] - ref_res) > 1e-9:
+            return None
+        mcfg = config["modalities"][mod]
+        with open_raster(mcfg["input_img_path"]) as src:
+            dtype = np.dtype(src.dtypes[0])
+            total_bytes += src.width * src.height * src.count * dtype.itemsize
+        ncfg = mcfg.get("normalization") or {}
+        ntype = ncfg.get("type", "without")
+        if ntype == "custom":
+            if flag == "auto" and not config.get("normalize_on_device"):
+                return None
+            norm_specs[mod] = ("custom", ncfg["means"], ncfg["stds"])
+        elif ntype == "scaling":
+            if np.issubdtype(dtype, np.floating):
+                norm_specs[mod] = ("cast",)
+            else:
+                info = np.iinfo(dtype)
+                norm_specs[mod] = (
+                    "scaling", float(max(abs(info.min), info.max))
+                )
+        elif ntype == "without":
+            norm_specs[mod] = ("cast",)
+        else:
+            return None
+    if total_bytes > config.get("device_tiles_max_bytes", 3 << 30):
+        return None
+    return {"mods": active, "norm_specs": norm_specs, "bytes": total_bytes}
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _assemble_padded(margin: int, *stripes):
+    """Concatenate H2D'd row stripes and zero-pad by ``margin`` — the padding
+    reproduces the host path's boundless reads with fill_value=0 at raster
+    edges (reference dataset.py:108-115)."""
+    full = jnp.concatenate(stripes, axis=1) if len(stripes) > 1 else stripes[0]
+    return jnp.pad(full, ((0, 0), (margin, margin), (margin, margin)))
+
+
+def _upload_resident_raster(reader, channels, margin: int):
+    """Stream a raster to the device in ~8 MB row stripes (decode of stripe
+    i+1 overlaps the async transfer of stripe i) and assemble the
+    margin-padded HBM copy in one fused concat+pad."""
+    itemsize = np.dtype(reader.dtypes[0]).itemsize
+    n_ch = len(channels) if channels else reader.count
+    rows = max(64, (8 << 20) // max(1, reader.width * n_ch * itemsize))
+    stripes = []
+    for y0 in range(0, reader.height, rows):
+        h = min(rows, reader.height - y0)
+        arr = reader.read(indexes=channels,
+                          window=Window(0, y0, reader.width, h))
+        if arr.ndim == 2:
+            arr = arr[None]
+        stripes.append(jax.device_put(arr))
+    return _assemble_padded(margin, *stripes)
+
+
 _STEP_CACHE: dict = {}
+
+
+def _norm_spec_key(spec) -> tuple:
+    kind = spec[0]
+    if kind == "custom":
+        return ("custom", tuple(spec[1]), tuple(spec[2]))
+    if kind == "scaling":
+        return ("scaling", float(spec[1]))
+    return (kind,)
 
 
 def make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
@@ -268,7 +371,7 @@ def make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
     # memoize per process: a fresh jit closure per raster would re-trace and
     # re-load the executable onto the (possibly tunneled) device each time
     norm_key = tuple(sorted(
-        (m, tuple(mm), tuple(ss)) for m, (mm, ss) in (device_norm or {}).items()
+        (m, _norm_spec_key(spec)) for m, spec in (device_norm or {}).items()
     ))
     cache_key = (id(model), output_type, margin_px, tile_size,
                  tuple(sorted(n_classes.items())), scale_num, scale_den,
@@ -290,6 +393,11 @@ def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
     Returns tiles_u8 dict {task: (B, C_or_1, th, tw) uint8}. The nearest
     rescale uses a static integer ratio grid identical to scipy zoom
     order-0 on the cropped tile.
+
+    ``device_norm`` maps modality -> normalization spec applied on device:
+    ``("custom", means, stds)`` (reference norm.py 'custom'),
+    ``("scaling", maxval)`` ('scaling' / img_as_float), or ``("cast",)``
+    ('without' on integer inputs — plain float cast).
     """
 
     inner = tile_size - 2 * margin_px
@@ -308,19 +416,33 @@ def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
     rescale_idx = _maybe_rescale_idx()
 
     norm_consts = {}
-    for mod, (means, stds) in (device_norm or {}).items():
-        norm_consts[mod] = (
-            jnp.asarray(means, jnp.float32)[None, :, None, None],
-            jnp.asarray(stds, jnp.float32)[None, :, None, None],
-        )
+    for mod, spec in (device_norm or {}).items():
+        if spec[0] == "custom":
+            norm_consts[mod] = (
+                "custom",
+                jnp.asarray(spec[1], jnp.float32)[None, :, None, None],
+                jnp.asarray(spec[2], jnp.float32)[None, :, None, None],
+            )
+        elif spec[0] == "scaling":
+            norm_consts[mod] = ("scaling", np.float32(1.0 / spec[1]))
+        else:
+            norm_consts[mod] = ("cast",)
+
+    def _apply_norm(k, v):
+        spec = norm_consts.get(k)
+        if spec is None:
+            return v
+        if spec[0] == "custom":
+            return (v.astype(jnp.float32) - spec[1]) / spec[2]
+        if spec[0] == "scaling":
+            return v.astype(jnp.float32) * spec[1]
+        return v.astype(jnp.float32)
 
     @jax.jit
     def step(variables, batch):
         cast = {}
         for k, v in batch.items():
-            if k in norm_consts:
-                mean, std = norm_consts[k]
-                v = ((v.astype(jnp.float32) - mean) / std)
+            v = _apply_norm(k, v)
             if (isinstance(v, jnp.ndarray) and v.dtype == jnp.float32
                     and not k.endswith("_DATES")):
                 v = v.astype(compute_dtype)
@@ -360,7 +482,28 @@ def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
             new[t] = _lax.fori_loop(0, tiles_t.shape[0], body, canvas)
         return new
 
+    @_partial(jax.jit, donate_argnums=(5,))
+    def gather_step_and_stitch(variables, rasters, extras, in_offs, out_offs,
+                               canvases):
+        """Device-resident tiling: slice the batch's tiles out of HBM-resident
+        (margin-padded) rasters, then forward + convert + canvas scatter — the
+        raster crosses the host->device tunnel exactly once per run instead of
+        once per overlapping tile (~1.5x the bytes at 512/40 patch/margin)."""
+        batch = dict(extras)
+        for mod, raster in rasters.items():
+            offs = in_offs[mod]
+            c = raster.shape[0]
+
+            def one(off, raster=raster, c=c):
+                return _lax.dynamic_slice(
+                    raster, (0, off[0], off[1]), (c, tile_size, tile_size)
+                )
+
+            batch[mod] = jax.vmap(one)(offs)
+        return step_and_stitch(variables, batch, out_offs, canvases)
+
     step.step_and_stitch = step_and_stitch
+    step.gather_step_and_stitch = gather_step_and_stitch
     return step
 
 
@@ -395,15 +538,32 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
 
     tasks = list(output_files.keys())
     n_classes = {t: output_files[t].count for t in tasks}
+    plan = device_tiling_plan(config) if mesh is None else None
     device_norm = None
-    if config.get("normalize_on_device"):
+    if plan:
+        device_norm = plan["norm_specs"]
+    elif config.get("normalize_on_device"):
         device_norm = {}
         for mod, active in config["modalities"]["inputs"].items():
-            if not active:
+            if not active or mod.endswith("_TS"):
                 continue
             ncfg = config["modalities"][mod].get("normalization") or {}
-            if ncfg.get("type") == "custom":
-                device_norm[mod] = (ncfg["means"], ncfg["stds"])
+            ntype = ncfg.get("type", "without")
+            if ntype == "custom":
+                device_norm[mod] = ("custom", ncfg["means"], ncfg["stds"])
+            elif ntype == "scaling":
+                path = config["modalities"][mod]["input_img_path"]
+                with open_raster(path) as src:
+                    dtype = np.dtype(src.dtypes[0])
+                if np.issubdtype(dtype, np.floating):
+                    device_norm[mod] = ("cast",)
+                else:
+                    info = np.iinfo(dtype)
+                    device_norm[mod] = (
+                        "scaling", float(max(abs(info.min), info.max))
+                    )
+            else:
+                device_norm[mod] = ("cast",)
     step = make_infer_step(
         model, output_type, margin_px, tile_size, n_classes,
         scale_num, scale_den,
@@ -463,7 +623,72 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
             stripes[t].append((fetched_to, stripe))
         fetched_to = frontier
 
+    def _out_offsets(indices, valid):
+        offs = np.zeros((len(indices), 2), np.int32)
+        for i, idx in enumerate(indices):
+            if i >= valid:
+                offs[i] = (img_h[tasks[0]], img_w[tasks[0]])  # padded area
+                continue
+            row = tiles[int(idx)]
+            offs[i] = (
+                int(round((image_bounds["top"] - row["top"]) / out_res)),
+                int(round((row["left"] - image_bounds["left"]) / out_res)),
+            )
+        return offs
+
     logger.info("[ ] Starting inference and on-device stitching ...")
+
+    if plan:
+        # --- HBM-resident rasters: gather tiles on device ----------------
+        from flair_for_aigle_tpu.geo.windows import from_bounds
+
+        logger.info("[ ] device-resident tiling: %d modality raster(s), "
+                    "%.1f MB H2D", len(plan["mods"]), plan["bytes"] / 1e6)
+        readers = dataloader.dataset.readers
+        rasters = {
+            mod: _upload_resident_raster(
+                readers[mod], config["modalities"][mod].get("channels"),
+                margin_px,
+            )
+            for mod in plan["mods"]
+        }
+        in_offs_all = {}
+        for mod in plan["mods"]:
+            tr = readers[mod].transform
+            offs = np.zeros((n_total, 2), np.int32)
+            for i, row in enumerate(tiles):
+                win = from_bounds(*row["geometry"].bounds,
+                                  transform=tr).round()
+                offs[i] = (int(win.row_off) + margin_px,
+                           int(win.col_off) + margin_px)
+            in_offs_all[mod] = offs
+        bsz = dataloader.batch_size
+        ps = config["img_pixels_detection"]
+        extras = {
+            t: jnp.zeros((bsz, 1, ps, ps), jnp.float32)
+            for t in config["labels"]
+        }
+        for start in range(0, n_total, bsz):
+            idxs = np.arange(start, min(start + bsz, n_total))
+            valid = len(idxs)
+            if valid < bsz:
+                idxs = np.concatenate(
+                    [idxs, np.full(bsz - valid, idxs[-1], idxs.dtype)]
+                )
+            in_offs = {m: jnp.asarray(in_offs_all[m][idxs])
+                       for m in plan["mods"]}
+            out_offs = jnp.asarray(_out_offsets(idxs, valid))
+            canvases = step.gather_step_and_stitch(
+                variables, rasters, extras, in_offs, out_offs, canvases
+            )
+            consumed += valid
+            fetch_final_stripes(future_min_top[min(consumed, n_total)])
+        _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
+                           output_files)
+        logger.info("[ok] canvases written")
+        return
+
+    # --- host windowed-read path ------------------------------------------
     # The dataset emits reference-parity extras (``*_RAW`` copies and big
     # zero-filled label tensors) that the forward never consumes — shipping
     # them to the device costs ~10x the useful H2D volume. Labels are only
@@ -496,21 +721,21 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         jb.update(device_labels)
 
         # offsets identical for all tasks (shared grid)
-        offs = np.zeros((len(indices), 2), np.int32)
-        for i, idx in enumerate(indices):
-            row = tiles[int(idx)]
-            if i >= valid:
-                offs[i] = (img_h[tasks[0]], img_w[tasks[0]])  # padded area
-                continue
-            left_px = int(round((row["left"] - image_bounds["left"]) / out_res))
-            top_px = int(round((image_bounds["top"] - row["top"]) / out_res))
-            offs[i] = (top_px, left_px)
+        offs = _out_offsets(indices, valid)
         # fused forward+convert+scatter: one dispatch per batch
         canvases = step.step_and_stitch(variables, jb, jnp.asarray(offs),
                                         canvases)
         consumed += int(valid)
         fetch_final_stripes(future_min_top[min(consumed, n_total)])
 
+    _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
+                       output_files)
+    logger.info("[ok] canvases written")
+
+
+def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
+                       output_files):
+    """Fetch any canvas rows not yet streamed and land every stripe."""
     for t in tasks:
         if fetched_to < img_h[t]:
             stripe = canvases[t][:, fetched_to:img_h[t], : img_w[t]]
@@ -521,7 +746,6 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
             arr = np.asarray(stripe)
             w.canvas[:, y0:y0 + arr.shape[1], :] = arr
         w.close()
-    logger.info("[ok] canvases written")
 
 
 # ---------------------------------------------------------------------------

@@ -316,3 +316,59 @@ def test_slicing_with_geozone_clip(tmp_path):
     # no-intersection zone -> empty
     far = geos.box(0, 0, 10, 10)
     assert generate_patches_from_reference(cfg, img, [far]) == []
+
+
+def test_device_resident_tiles_match_host_path(tmp_path):
+    """HBM-resident gather path == host windowed-read path, byte for byte
+    (same device norm on both sides; only the tile transport differs)."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 150, 120, seed=13)  # non-square, edge-snapped tiles
+
+    cfg1 = make_zonal_config(tmp_path, img)
+    cfg1["normalize_on_device"] = True
+    cfg1["device_resident_tiles"] = False
+    host = run_inference(dict(cfg1))
+    with open_raster(host["AERIAL_LABEL-COSIA"]) as src:
+        want = src.read()
+
+    cfg2 = make_zonal_config(tmp_path, img)
+    cfg2["output_name"] = "test_zonal_resident"
+    cfg2["normalize_on_device"] = True  # auto gate: custom norm needs opt-in
+    from flair_for_aigle_tpu.zonal.inference import device_tiling_plan
+    probe = dict(cfg2)
+    from flair_for_aigle_tpu.zonal.inference import (
+        initialize_geometry_and_resolutions,
+    )
+    assert device_tiling_plan(initialize_geometry_and_resolutions(probe))
+    got_paths = run_inference(cfg2)
+    with open_raster(got_paths["AERIAL_LABEL-COSIA"]) as src:
+        got = src.read()
+    np.testing.assert_array_equal(want, got)
+
+
+def test_device_resident_tiles_rescale_and_scaling_norm(tmp_path):
+    """Resident path with 'scaling' norm (auto-gates with no opt-in flag)
+    and a coarser output resolution."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96, seed=17)
+    cfg1 = make_zonal_config(tmp_path, img, out_res=1.0)
+    cfg1["modalities"]["AERIAL_RGBI"]["normalization"] = {"type": "scaling"}
+    cfg1["device_resident_tiles"] = False
+    want_paths = run_inference(dict(cfg1))
+    with open_raster(want_paths["AERIAL_LABEL-COSIA"]) as src:
+        want = src.read()
+
+    cfg2 = make_zonal_config(tmp_path, img, out_res=1.0)
+    cfg2["modalities"]["AERIAL_RGBI"]["normalization"] = {"type": "scaling"}
+    cfg2["output_name"] = "test_zonal_resident_scaling"
+    from flair_for_aigle_tpu.zonal.inference import (
+        device_tiling_plan,
+        initialize_geometry_and_resolutions,
+    )
+    assert device_tiling_plan(initialize_geometry_and_resolutions(dict(cfg2)))
+    got_paths = run_inference(cfg2)
+    with open_raster(got_paths["AERIAL_LABEL-COSIA"]) as src:
+        got = src.read()
+    # scaling norm: host float64 img_as_float vs device float32 may differ
+    # only at argmax ties; require near-exact agreement
+    assert (want == got).mean() > 0.999
