@@ -326,31 +326,12 @@ def device_tiling_plan(config: Dict) -> Dict | None:
     return {"mods": active, "norm_specs": norm_specs, "bytes": total_bytes}
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _assemble_padded(margin: int, *stripes):
-    """Concatenate H2D'd row stripes and zero-pad by ``margin`` — the padding
-    reproduces the host path's boundless reads with fill_value=0 at raster
-    edges (reference dataset.py:108-115)."""
-    full = jnp.concatenate(stripes, axis=1) if len(stripes) > 1 else stripes[0]
-    return jnp.pad(full, ((0, 0), (margin, margin), (margin, margin)))
+@jax.jit
+def _place_stripe(buf, stripe, y0, x0):
+    """Land one decoded row stripe into the margin-padded HBM raster."""
+    from jax import lax
 
-
-def _upload_resident_raster(reader, channels, margin: int):
-    """Stream a raster to the device in ~8 MB row stripes (decode of stripe
-    i+1 overlaps the async transfer of stripe i) and assemble the
-    margin-padded HBM copy in one fused concat+pad."""
-    itemsize = np.dtype(reader.dtypes[0]).itemsize
-    n_ch = len(channels) if channels else reader.count
-    rows = max(64, (8 << 20) // max(1, reader.width * n_ch * itemsize))
-    stripes = []
-    for y0 in range(0, reader.height, rows):
-        h = min(rows, reader.height - y0)
-        arr = reader.read(indexes=channels,
-                          window=Window(0, y0, reader.width, h))
-        if arr.ndim == 2:
-            arr = arr[None]
-        stripes.append(jax.device_put(arr))
-    return _assemble_padded(margin, *stripes)
+    return lax.dynamic_update_slice(buf, stripe, (0, y0, x0))
 
 
 _STEP_CACHE: dict = {}
@@ -640,18 +621,15 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
 
     if plan:
         # --- HBM-resident rasters: gather tiles on device ----------------
+        # Fully pipelined: decode stripe i+1 on the host while stripe i's
+        # async H2D is in flight, and dispatch each tile batch the moment
+        # every row it gathers is resident — compute overlaps the upload,
+        # and the striped canvas D2H overlaps both.
         from flair_for_aigle_tpu.geo.windows import from_bounds
 
         logger.info("[ ] device-resident tiling: %d modality raster(s), "
                     "%.1f MB H2D", len(plan["mods"]), plan["bytes"] / 1e6)
         readers = dataloader.dataset.readers
-        rasters = {
-            mod: _upload_resident_raster(
-                readers[mod], config["modalities"][mod].get("channels"),
-                margin_px,
-            )
-            for mod in plan["mods"]
-        }
         in_offs_all = {}
         for mod in plan["mods"]:
             tr = readers[mod].transform
@@ -668,21 +646,70 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
             t: jnp.zeros((bsz, 1, ps, ps), jnp.float32)
             for t in config["labels"]
         }
-        for start in range(0, n_total, bsz):
-            idxs = np.arange(start, min(start + bsz, n_total))
-            valid = len(idxs)
-            if valid < bsz:
-                idxs = np.concatenate(
-                    [idxs, np.full(bsz - valid, idxs[-1], idxs.dtype)]
-                )
-            in_offs = {m: jnp.asarray(in_offs_all[m][idxs])
-                       for m in plan["mods"]}
-            out_offs = jnp.asarray(_out_offsets(idxs, valid))
-            canvases = step.gather_step_and_stitch(
-                variables, rasters, extras, in_offs, out_offs, canvases
+
+        batch_starts = list(range(0, n_total, bsz))
+        # padded rows a batch's gathers read up to (same grid for all mods)
+        need_rows = [
+            int(max(in_offs_all[m][s:min(s + bsz, n_total), 0].max()
+                    for m in plan["mods"])) + tile_size
+            for s in batch_starts
+        ]
+
+        bufs = {}
+        for mod in plan["mods"]:
+            r = readers[mod]
+            n_ch = len(config["modalities"][mod].get("channels")
+                       or range(r.count))
+            bufs[mod] = jnp.zeros(
+                (n_ch, r.height + 2 * margin_px, r.width + 2 * margin_px),
+                np.dtype(r.dtypes[0]),
             )
-            consumed += valid
-            fetch_final_stripes(future_min_top[min(consumed, n_total)])
+        height = readers[plan["mods"][0]].height
+        width = readers[plan["mods"][0]].width
+        itemsize = max(np.dtype(readers[m].dtypes[0]).itemsize
+                       for m in plan["mods"])
+        stripe_rows = max(64, (8 << 20) // max(1, width * 3 * itemsize))
+
+        bi = 0
+
+        def dispatch_ready(placed: int):
+            nonlocal bi, canvases, consumed
+            while bi < len(batch_starts) and (
+                need_rows[bi] <= placed + margin_px or placed >= height
+            ):
+                start = batch_starts[bi]
+                idxs = np.arange(start, min(start + bsz, n_total))
+                valid = len(idxs)
+                if valid < bsz:
+                    idxs = np.concatenate(
+                        [idxs, np.full(bsz - valid, idxs[-1], idxs.dtype)]
+                    )
+                in_offs = {m: jnp.asarray(in_offs_all[m][idxs])
+                           for m in plan["mods"]}
+                out_offs = jnp.asarray(_out_offsets(idxs, valid))
+                canvases = step.gather_step_and_stitch(
+                    variables, bufs, extras, in_offs, out_offs, canvases
+                )
+                consumed += valid
+                fetch_final_stripes(future_min_top[min(consumed, n_total)])
+                bi += 1
+
+        x0 = jnp.int32(margin_px)
+        for y0 in range(0, height, stripe_rows):
+            h = min(stripe_rows, height - y0)
+            for mod in plan["mods"]:
+                arr = readers[mod].read(
+                    indexes=config["modalities"][mod].get("channels"),
+                    window=Window(0, y0, width, h),
+                )
+                if arr.ndim == 2:
+                    arr = arr[None]
+                bufs[mod] = _place_stripe(
+                    bufs[mod], jax.device_put(arr),
+                    jnp.int32(y0 + margin_px), x0,
+                )
+            dispatch_ready(y0 + h)
+        dispatch_ready(height)
         _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
                            output_files)
         logger.info("[ok] canvases written")
