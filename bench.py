@@ -63,6 +63,7 @@ def make_cfg(img_path: str, out_dir: str, n_classes: int = 19) -> dict:
         "margin": MARGIN,
         "output_px_meters": RES,
         "compute_dtype": "bfloat16",
+        "attn_f32": False,
         "normalize_on_device": True,
         "emit_label_placeholders": False,
         "preload_rasters": "auto",

@@ -72,6 +72,11 @@ class RasterReader:
         self.count = int(info[2])
         self.dtypes = [np.dtype(_DTYPES[int(info[3])])] * self.count
         self._dtype_code = int(info[3])
+        # decode granularity: tile height (tiled) or rows-per-strip. Reads
+        # decode whole tiles/strips with no cache, so row-aligned consumers
+        # (the zonal resident path) stripe on multiples of this to decode
+        # each tile exactly once.
+        self.block_rows = int(info[7]) or 1
         epsg = int(info[4])
         self.crs = f"EPSG:{epsg}" if epsg else None
         # native returns GDAL-ish (x0, dx, rx, y0, ry, dy) packed as

@@ -246,6 +246,7 @@ class FlairHubModel(nn.Module):
                 plan["spec"].encoder_name, plan["channels"][mod],
                 name=f"encoders.{mod}.seg_model",
                 remat=cfg["models"]["monotemp_model"].get("remat", False),
+                attn_f32=cfg["models"]["monotemp_model"].get("attn_f32", True),
             )
             fmaps[mod] = enc(self._nchw_to_nhwc(batch[mod]), train=train)
             if plan["aux_losses"].get(mod):

@@ -261,7 +261,11 @@ class TorchLinear(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         in_f = x.shape[-1]
         kernel = self.param("kernel", torch_kaiming_uniform(), (in_f, self.features))
-        y = jnp.dot(x, kernel).astype(x.dtype)
+        # cast the kernel to the activation dtype (mirrors TorchConv): under
+        # compute_dtype=bfloat16 a f32 kernel would silently promote the
+        # whole matmul to f32 — 4x slower on the MXU and an extra f32
+        # materialization of the activations. No-op for f32 activations.
+        y = jnp.dot(x, kernel.astype(x.dtype)).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", torch_fanin_bias_uniform(in_f), (self.features,))
             y = y + bias.astype(y.dtype)

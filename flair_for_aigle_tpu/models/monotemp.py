@@ -55,6 +55,7 @@ class TimmUniversalEncoder(nn.Module):
     encoder_name: str
     in_channels: int
     remat: bool = False
+    attn_f32: bool = True
 
     @property
     def out_channels(self) -> tuple[int, ...]:
@@ -65,18 +66,19 @@ class TimmUniversalEncoder(nn.Module):
         ed, depths, heads, win = _SWIN_SPECS[self.encoder_name]
         return SwinTransformerEncoder(
             in_channels=self.in_channels, embed_dim=ed, depths=depths,
-            num_heads=heads, window_size=win, remat=self.remat, name="model",
+            num_heads=heads, window_size=win, remat=self.remat,
+            attn_f32=self.attn_f32, name="model",
         )(x, train=train)
 
 
 def make_encoder(encoder_name: str, in_channels: int, name: str,
-                 remat: bool = False) -> nn.Module:
+                 remat: bool = False, attn_f32: bool = True) -> nn.Module:
     """Encoder module rooted at ``name`` with smp-compatible internal naming."""
     if encoder_name in _RESNET_SPECS:
         return ResNetEncoder(arch=encoder_name, in_channels=in_channels, name=name)
     if encoder_name in _SWIN_SPECS:
         return TimmUniversalEncoder(encoder_name, in_channels, remat=remat,
-                                    name=name)
+                                    attn_f32=attn_f32, name=name)
     raise ValueError(f"Unknown encoder: {encoder_name}")
 
 

@@ -91,6 +91,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     table_window: int  # window size the bias table was built for
     window_size: tuple[int, int]  # actual (clamped) window
+    attn_f32: bool = True  # False: scores/softmax in the input dtype
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: np.ndarray | None) -> jax.Array:
@@ -104,24 +105,27 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * tw - 1) * (2 * tw - 1), nh),
         )
+        # score/softmax dtype: f32 matches torch numerics; the bf16 path
+        # (attn_f32=False, an opt-in speed knob like compute_dtype) halves
+        # the HBM traffic of the score tensors, which dominate this
+        # bandwidth-bound step at window 12 (T=144 scores per token pair).
+        acc_t = jnp.float32 if self.attn_f32 else x.dtype
         qkv = TorchLinear(3 * c, name="qkv")(x)
         qkv = qkv.reshape(bnw, t, 3, nh, hd)
         q, k, v = (
             jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
         )  # (bnw, nh, t, hd)
         q = q * (hd ** -0.5)
-        attn = jnp.einsum(
-            "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
-        )
+        attn = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=acc_t)
         idx = _relative_position_index(wh, ww, tw).reshape(-1)
         bias = table[jnp.asarray(idx)].reshape(t, t, nh)
         attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
         if mask is not None:
             nw = mask.shape[0]
-            attn = attn.reshape(-1, nw, nh, t, t) + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(-1, nw, nh, t, t) + jnp.asarray(mask, acc_t)[None, :, None]
             attn = attn.reshape(bnw, nh, t, t)
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhts,bhsd->bhtd", attn, v, preferred_element_type=jnp.float32)
+        out = jnp.einsum("bhts,bhsd->bhtd", attn, v, preferred_element_type=acc_t)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bnw, t, c).astype(x.dtype)
         return TorchLinear(c, name="proj")(out)
 
@@ -132,6 +136,7 @@ class SwinBlock(nn.Module):
     window_size: int
     shift: bool
     mlp_ratio: float = 4.0
+    attn_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -154,7 +159,8 @@ class SwinBlock(nn.Module):
         windows = window_partition(y, ws)
         mask = _shift_attn_mask(hp, wp, ws, ss)
         attn = WindowAttention(
-            self.dim, self.num_heads, self.window_size, (ws, ws), name="attn"
+            self.dim, self.num_heads, self.window_size, (ws, ws),
+            attn_f32=self.attn_f32, name="attn",
         )(windows, mask)
         y = window_reverse(attn, ws, hp, wp)
         if pad_h or pad_w:
@@ -198,6 +204,7 @@ class SwinTransformerEncoder(nn.Module):
     window_size: int = 12
     patch_size: int = 4
     remat: bool = False
+    attn_f32: bool = True
 
     @property
     def out_channels(self) -> tuple[int, ...]:
@@ -229,6 +236,7 @@ class SwinTransformerEncoder(nn.Module):
                     num_heads=heads,
                     window_size=self.window_size,
                     shift=(j % 2 == 1),
+                    attn_f32=self.attn_f32,
                     name=f"layers.{i}.blocks.{j}",
                 )(y)
             feats.append(y)

@@ -669,6 +669,13 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         itemsize = max(np.dtype(readers[m].dtypes[0]).itemsize
                        for m in plan["mods"])
         stripe_rows = max(64, (8 << 20) // max(1, width * 3 * itemsize))
+        # align stripes to the decode granularity (TIFF tile rows / JP2
+        # precinct rows): gt_read_window decodes whole tiles with no cache,
+        # so a misaligned stripe pays ~2x the LZW decode of the raster
+        block = max((getattr(readers[m], "block_rows", 1) or 1)
+                    for m in plan["mods"])
+        if block > 1:
+            stripe_rows = max(block, (stripe_rows // block) * block)
 
         bi = 0
 
@@ -694,24 +701,44 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
                 fetch_final_stripes(future_min_top[min(consumed, n_total)])
                 bi += 1
 
+        timing = os.getenv("FLAIR_ZONAL_TIMING")
+        t_read = t_put = t_disp = 0.0
+        t_start = time.perf_counter()
         x0 = jnp.int32(margin_px)
         for y0 in range(0, height, stripe_rows):
             h = min(stripe_rows, height - y0)
             for mod in plan["mods"]:
+                t0 = time.perf_counter()
                 arr = readers[mod].read(
                     indexes=config["modalities"][mod].get("channels"),
                     window=Window(0, y0, width, h),
                 )
                 if arr.ndim == 2:
                     arr = arr[None]
+                t1 = time.perf_counter()
                 bufs[mod] = _place_stripe(
                     bufs[mod], jax.device_put(arr),
                     jnp.int32(y0 + margin_px), x0,
                 )
+                t2 = time.perf_counter()
+                t_read += t1 - t0
+                t_put += t2 - t1
+            t0 = time.perf_counter()
             dispatch_ready(y0 + h)
+            t_disp += time.perf_counter() - t0
+        t0 = time.perf_counter()
         dispatch_ready(height)
+        t_disp += time.perf_counter() - t0
+        t0 = time.perf_counter()
         _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
                            output_files)
+        if timing:
+            logger.warning(
+                "[timing] resident path: read=%.2fs put=%.2fs dispatch=%.2fs "
+                "finalize=%.2fs total=%.2fs",
+                t_read, t_put, t_disp, time.perf_counter() - t0,
+                time.perf_counter() - t_start,
+            )
         logger.info("[ok] canvases written")
         return
 

@@ -54,6 +54,9 @@ def prepare_model_config(config: Dict[str, Any]) -> Dict[str, Any]:
         cfg["models"]["monotemp_model"] = {
             "arch": config["monotemp_arch"],
             "new_channels_init_mode": "random",
+            # opt-in speed knob (like compute_dtype): run swin attention
+            # scores/softmax in the compute dtype instead of float32
+            "attn_f32": config.get("attn_f32", True),
         }
     if "multitemp_model_ref_date" in config:
         cfg["models"]["multitemp_model"] = {

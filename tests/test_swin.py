@@ -53,3 +53,24 @@ def test_swin_shift_mask_applied():
     v = enc.init(jax.random.key(0), x)
     feats = enc.apply(v, x)
     assert feats[2].shape == (1, 8, 8, 16)
+
+
+def test_swin_attn_bf16_close_to_f32():
+    """attn_f32=False (opt-in speed knob) must track the f32-softmax path
+    closely enough that per-pixel argmax decisions are stable away from ties;
+    the params trees are identical so checkpoints load into either."""
+    enc32 = SwinTransformerEncoder(in_channels=3, embed_dim=32,
+                                   depths=(2, 2), num_heads=(2, 4),
+                                   window_size=4)
+    enc16 = SwinTransformerEncoder(in_channels=3, embed_dim=32,
+                                   depths=(2, 2), num_heads=(2, 4),
+                                   window_size=4, attn_f32=False)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 32, 32, 3)), jnp.float32
+    )
+    variables = enc32.init(jax.random.key(0), x)
+    a = enc32.apply(variables, x.astype(jnp.bfloat16))[-1].astype(jnp.float32)
+    b = enc16.apply(variables, x.astype(jnp.bfloat16))[-1].astype(jnp.float32)
+    denom = np.maximum(np.abs(np.asarray(a)), 1e-3)
+    rel = np.abs(np.asarray(a - b)) / denom
+    assert np.median(rel) < 0.05, np.median(rel)
