@@ -86,29 +86,73 @@ def window_reverse(x: jax.Array, ws: int, h: int, w: int) -> jax.Array:
     return x.reshape(-1, h, w, c)
 
 
+def _use_attn_kernel(kernel_mode: str) -> bool:
+    if kernel_mode == "off":
+        return False
+    if kernel_mode == "on":
+        return True
+    return jax.devices()[0].platform == "tpu"
+
+
 class WindowAttention(nn.Module):
+    """Windowed MHA over the padded (pre-rolled) feature raster.
+
+    Two lowerings with identical parameters and matching numerics:
+
+    * XLA path: window partition -> batched einsums -> reverse. Score and
+      softmax dtype is float32 (torch parity) unless ``attn_f32=False``
+      (opt-in speed knob like compute_dtype: scores in the compute dtype).
+    * Pallas kernel path (``kernel_mode`` 'auto'|'on'|'off'; auto = on TPU,
+      inference only): one fused VMEM pass per window with f32 softmax —
+      both faster than either XLA variant and f32-exact, since the XLA
+      lowering materializes every (B*nW, nh, T, T) score tensor in HBM
+      (ops/pallas/window_attn.py).
+    """
+
     dim: int
     num_heads: int
     table_window: int  # window size the bias table was built for
     window_size: tuple[int, int]  # actual (clamped) window
+    shift_size: int = 0
     attn_f32: bool = True  # False: scores/softmax in the input dtype
+    kernel_mode: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: np.ndarray | None) -> jax.Array:
-        bnw, t, c = x.shape
+    def __call__(self, y: jax.Array, train: bool = False) -> jax.Array:
+        b, hp, wp, c = y.shape
         nh = self.num_heads
         hd = c // nh
         wh, ww = self.window_size
+        ws = wh
+        t = wh * ww
         tw = self.table_window
+        ss = self.shift_size
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * tw - 1) * (2 * tw - 1), nh),
         )
-        # score/softmax dtype: f32 matches torch numerics; the bf16 path
-        # (attn_f32=False, an opt-in speed knob like compute_dtype) halves
-        # the HBM traffic of the score tensors, which dominate this
-        # bandwidth-bound step at window 12 (T=144 scores per token pair).
+        idx = _relative_position_index(wh, ww, tw).reshape(-1)
+
+        from flair_for_aigle_tpu.ops.pallas import window_attn as wak
+
+        if (not train and wh == ww and wak.supports(c, nh, ws)
+                and _use_attn_kernel(self.kernel_mode)):
+            x = window_partition(y, ws)
+            qkv = TorchLinear(3 * c, name="qkv")(x)
+            bias = jnp.transpose(
+                table[jnp.asarray(idx)].reshape(t, t, nh), (2, 0, 1)
+            ).astype(jnp.float32)
+            out = wak.fused_window_attention(
+                qkv, bias, num_heads=nh, window_size=ws, shift_size=ss,
+                grid_hw=(hp // ws, wp // ws), out_dtype=y.dtype,
+            )
+            out = window_reverse(out, ws, hp, wp)
+            return TorchLinear(c, name="proj")(out)
+
+        x = window_partition(y, ws)
+        bnw = x.shape[0]
+        mask = _shift_attn_mask(hp, wp, ws, ss)
         acc_t = jnp.float32 if self.attn_f32 else x.dtype
         qkv = TorchLinear(3 * c, name="qkv")(x)
         qkv = qkv.reshape(bnw, t, 3, nh, hd)
@@ -117,7 +161,6 @@ class WindowAttention(nn.Module):
         )  # (bnw, nh, t, hd)
         q = q * (hd ** -0.5)
         attn = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=acc_t)
-        idx = _relative_position_index(wh, ww, tw).reshape(-1)
         bias = table[jnp.asarray(idx)].reshape(t, t, nh)
         attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
         if mask is not None:
@@ -127,6 +170,7 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhts,bhsd->bhtd", attn, v, preferred_element_type=acc_t)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bnw, t, c).astype(x.dtype)
+        out = window_reverse(out, ws, hp, wp)
         return TorchLinear(c, name="proj")(out)
 
 
@@ -137,9 +181,14 @@ class SwinBlock(nn.Module):
     shift: bool
     mlp_ratio: float = 4.0
     attn_f32: bool = True
+    kernel_mode: str = "auto"
+    # carried as a field (not a call arg) so nn.checkpoint(SwinBlock) never
+    # sees a traced python bool
+    is_training: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        train = self.is_training
         b, h, w, c = x.shape
         # timm _calc_window_shift: window clamps to the feature size, and the
         # shift disables when the feature fits in one window.
@@ -155,14 +204,11 @@ class SwinBlock(nn.Module):
         pad_w = (ws - w % ws) % ws
         if pad_h or pad_w:
             y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        hp, wp = h + pad_h, w + pad_w
-        windows = window_partition(y, ws)
-        mask = _shift_attn_mask(hp, wp, ws, ss)
-        attn = WindowAttention(
+        y = WindowAttention(
             self.dim, self.num_heads, self.window_size, (ws, ws),
-            attn_f32=self.attn_f32, name="attn",
-        )(windows, mask)
-        y = window_reverse(attn, ws, hp, wp)
+            shift_size=ss, attn_f32=self.attn_f32,
+            kernel_mode=self.kernel_mode, name="attn",
+        )(y, train=train)
         if pad_h or pad_w:
             y = y[:, :h, :w, :]
         if ss:
@@ -205,6 +251,7 @@ class SwinTransformerEncoder(nn.Module):
     patch_size: int = 4
     remat: bool = False
     attn_f32: bool = True
+    attn_kernel: str = "auto"  # fused Pallas window attention: auto|on|off
 
     @property
     def out_channels(self) -> tuple[int, ...]:
@@ -237,6 +284,8 @@ class SwinTransformerEncoder(nn.Module):
                     window_size=self.window_size,
                     shift=(j % 2 == 1),
                     attn_f32=self.attn_f32,
+                    kernel_mode=self.attn_kernel,
+                    is_training=train,
                     name=f"layers.{i}.blocks.{j}",
                 )(y)
             feats.append(y)

@@ -1,0 +1,187 @@
+"""Fused swin window attention (Pallas TPU kernel).
+
+Grid over window batches of the already-partitioned qkv windows
+(B*nW, T, 3C); each instance runs, entirely in VMEM:
+
+  per-head QK^T (f32 accum) -> +relative-position bias -> +shift mask
+  (pattern picked from the window's position in the padded window grid)
+  -> f32 softmax -> compute-dtype probs @ V -> head merge
+
+The XLA lowering of the same math materializes the (B*nW, nh, T, T) score
+tensors plus six q/k/v/out head-split transposes in HBM per block; at
+swin-base 512px geometry those dominate the encoder's HBM traffic (the
+step is bandwidth-bound). The kernel's HBM traffic is one read of the qkv
+windows and one write of the output windows.
+
+Numerics match the attn_f32=True XLA path: scores/softmax accumulate in
+float32, probabilities are cast to the compute dtype before the PV matmul
+(exactly what models/swin.py:WindowAttention does), bias and mask stay
+float32.
+
+Shift-mask banking: timm's shifted-window mask (swin.py:_shift_attn_mask)
+assigns each token a 3x3 band id; within one window the resulting (T, T)
+pattern depends only on whether the window is last in its row and/or
+column of the padded window grid, so four patterns cover every window and
+the kernel picks one from the window index.
+
+Mosaic constraint note: blocks must have their last two dims (8, 128)-
+aligned, so the kernel consumes (BW, T, 3C) window blocks — T = ws^2 is a
+multiple of 8 for every production geometry (144 for window 12) — rather
+than (ws, ws) raster tiles; window partition/reverse stay one XLA copy
+each.
+
+Backward: not implemented — inference-only; the training path keeps the
+XLA lowering (models/swin.py gates on ``is_training``).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@lru_cache(maxsize=None)
+def shift_mask_bank(ws: int, ss: int) -> np.ndarray:
+    """(4, T, T) float32 additive masks: [interior, last-col, last-row,
+    last-row+col]. Equal to the per-window rows of timm's shifted-window
+    mask (models/swin.py:_shift_attn_mask) at the matching position."""
+    t = ws * ws
+
+    def groups(last: bool) -> np.ndarray:
+        g = np.zeros(ws, np.int64)
+        if last:
+            # window spans image bands (-ws..-ss) and (-ss..)
+            g[: ws - ss] = 1
+            g[ws - ss:] = 2
+        return g
+
+    bank = np.zeros((4, t, t), np.float32)
+    for p, (li, lj) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        gr, gc = groups(bool(li)), groups(bool(lj))
+        gid = (gr[:, None] * 3 + gc[None, :]).reshape(-1)  # (T,)
+        diff = gid[None, :] - gid[:, None]
+        bank[p] = np.where(diff != 0, -100.0, 0.0)
+    return bank
+
+
+def _pick_bw(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
+    """Largest window-batch size that divides bnw and fits VMEM (~10 MB
+    budget: double-buffered qkv + out blocks, bias, mask, f32 scores)."""
+    t_pad = -(-t // 128) * 128  # scores lane padding
+    fixed = nh * t * t * 4 + 4 * t * t * 4 + nh * t * t_pad * 4
+    for bw in (16, 8, 4, 2, 1):
+        if bnw % bw or bw * nh > 64:  # bound the unrolled head loop
+            continue
+        per = bw * t * 4 * c * itemsize * 2  # qkv + out, double-buffered
+        if fixed + per <= 10 * (1 << 20):
+            return bw
+    return 1
+
+
+def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
+                 nwh: int, nww: int, out_dtype):
+    hd = c // nh
+    scale = hd ** -0.5
+
+    def body(qkv_ref, bias_ref, mask_ref, out_ref):
+        i = pl.program_id(0)
+        for w in range(bw):
+            if shifted:
+                widx = (i * bw + w) % (nwh * nww)
+                li = (widx // nww == nwh - 1).astype(jnp.int32)
+                lj = (widx % nww == nww - 1).astype(jnp.int32)
+                msel = mask_ref[li * 2 + lj]  # (T, T)
+            # per-head 2D matmuls on static lane slices: Mosaic rejects
+            # lane-splitting reshapes like (T, C)->(T, nh, hd) and batch
+            # dims off position 0, so heads unroll as standard matmuls
+            for h in range(nh):
+                q = qkv_ref[w, :, h * hd:(h + 1) * hd]  # (T, hd)
+                k = qkv_ref[w, :, c + h * hd:c + (h + 1) * hd]
+                v = qkv_ref[w, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+                # (T, hd) x (T2, hd)^T -> (T, T2), f32 accumulate
+                s = lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                s = s + bias_ref[h]
+                if shifted:
+                    s = s + msel
+                probs = jax.nn.softmax(s, axis=-1).astype(qkv_ref.dtype)
+                o = lax.dot_general(
+                    probs, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out_ref[w, :, h * hd:(h + 1) * hd] = o.astype(out_dtype)
+
+    return body
+
+
+@lru_cache(maxsize=None)
+def _build_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
+                nwh: int, nww: int, in_dtype_str: str, out_dtype_str: str,
+                interpret: bool):
+    out_dtype = jnp.dtype(out_dtype_str)
+    itemsize = jnp.dtype(in_dtype_str).itemsize
+    bw = _pick_bw(bnw, t, c, nh, itemsize)
+    body = _kernel_body(nh, t, c, bw, shifted, nwh, nww, out_dtype)
+    hd = c // nh
+    n_inst = bnw // bw
+    call = pl.pallas_call(
+        body,
+        grid=(n_inst,),
+        in_specs=[
+            pl.BlockSpec((bw, t, 3 * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, t, t), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, t, t), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bw, t, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bnw, t, c), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bnw * nh * t * t * hd,
+            bytes_accessed=bnw * t * 4 * c * itemsize,
+            transcendentals=bnw * nh * t * t,
+        ),
+        interpret=interpret,
+    )
+    return call
+
+
+def fused_window_attention(qkv: jax.Array, bias: jax.Array, *,
+                           num_heads: int, window_size: int, shift_size: int,
+                           grid_hw: tuple[int, int],
+                           out_dtype=None, interpret: bool | None = None
+                           ) -> jax.Array:
+    """Windowed MHA over partitioned qkv windows.
+
+    qkv: (B*nW, T, 3C) from window_partition (already cyclic-shifted when
+    shift_size > 0, windows in row-major (wi, wj) order per image).
+    bias: (nh, T, T) float32 relative-position bias (gathered from the
+    table). grid_hw: (nwh, nww) padded window grid, for mask selection.
+    Returns (B*nW, T, C).
+    """
+    bnw, t, c3 = qkv.shape
+    c = c3 // 3
+    shifted = shift_size > 0
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    out_dtype = out_dtype or qkv.dtype
+    mask = jnp.asarray(shift_mask_bank(window_size, shift_size if shifted else 1))
+    call = _build_call(bnw, t, c, num_heads, shifted, grid_hw[0], grid_hw[1],
+                       str(qkv.dtype), str(jnp.dtype(out_dtype)), interpret)
+    return call(qkv, bias.astype(jnp.float32), mask)
+
+
+def supports(c: int, num_heads: int, ws: int) -> bool:
+    """Shape gate: lane-aligned channels and (8,128)-tileable windows."""
+    t = ws * ws
+    return (c % num_heads == 0 and c % 128 == 0 and t % 8 == 0)
