@@ -333,14 +333,25 @@ class FlairHubModel(nn.Module):
                            train=train)
 
         # ---- task decoders ---------------------------------------------
+        # zonal_stride4_logits (set by zonal/model_utils.py on TPU): return
+        # the upernet head's stride-4 NHWC logits and let the inference
+        # engine's fused upsample-crop-convert kernel (ops/pallas/epilogue)
+        # do the x4 bilinear — skipping ~3 GB/batch of full-res f32 logits
+        # traffic (upsample + NCHW transpose). Training and CPU paths keep
+        # the reference-parity full-resolution NCHW contract.
+        stride4 = (not train and cfg.get("zonal_stride4_logits")
+                   and plan["active_mono"]
+                   and plan["spec"].decoder_name == "upernet")
         for task in labels:
             if plan["active_mono"]:
                 dec = MonotempDecoder(
                     plan["spec"].decoder_name, plan["nclasses"][task],
+                    head_upsampling=1 if stride4 else 4,
                     name=f"main_decoders.{task}.seg_model",
                 )
                 out = dec(*fused, train=train)
-                out = resize_bilinear_nhwc(out, img_size, img_size)
+                if not stride4:
+                    out = resize_bilinear_nhwc(out, img_size, img_size)
             else:
                 if len(labels) > 1:
                     out = TorchConv(
@@ -352,8 +363,12 @@ class FlairHubModel(nn.Module):
             logits_tasks[task] = out
 
         # drop modality logits, return NCHW (reference flair_model.py:426-430)
+        # stride4 mode keeps NHWC at h/4 — the epilogue kernel transposes the
+        # small tensor itself; a full-res NCHW copy is what we're avoiding
         out_tasks = {
-            task: jnp.transpose(logits_tasks[task], (0, 3, 1, 2)) for task in labels
+            task: (logits_tasks[task] if stride4
+                   else jnp.transpose(logits_tasks[task], (0, 3, 1, 2)))
+            for task in labels
         }
         return out_tasks, logits_aux
 

@@ -91,6 +91,9 @@ class MonotempDecoder(nn.Module):
 
     decoder_name: str
     classes: int
+    # upernet head upsampling factor; 1 = emit stride-4 logits for the
+    # fused zonal epilogue kernel (params are identical either way)
+    head_upsampling: int = 4
 
     @nn.compact
     def __call__(self, *features, train: bool = False):
@@ -99,7 +102,10 @@ class MonotempDecoder(nn.Module):
             return SegmentationHead(self.classes, name="segmentation_head")(y)
         if self.decoder_name == "upernet":
             y = UPerNetDecoder(name="decoder")(*features, train=train)
-            return UPerNetSegmentationHead(self.classes, name="segmentation_head")(y)
+            return UPerNetSegmentationHead(
+                self.classes, upsampling=self.head_upsampling,
+                name="segmentation_head",
+            )(y)
         raise ValueError(f"Unknown decoder: {self.decoder_name}")
 
 

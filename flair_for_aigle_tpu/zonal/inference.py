@@ -419,6 +419,8 @@ def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
             return v.astype(jnp.float32) * spec[1]
         return v.astype(jnp.float32)
 
+    stride4 = bool(getattr(model, "config", {}).get("zonal_stride4_logits"))
+
     @jax.jit
     def step(variables, batch):
         cast = {}
@@ -431,13 +433,24 @@ def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
         logits_tasks, _ = model.apply(variables, cast)
         out = {}
         for task, logits in logits_tasks.items():
-            lg = logits[:, :, margin_px:tile_size - margin_px,
-                        margin_px:tile_size - margin_px].astype(jnp.float32)
-            if output_type == "argmax":
-                pred = jnp.argmax(lg, axis=1).astype(jnp.uint8)[:, None]
+            if stride4:
+                # NHWC stride-4 logits -> fused x4-bilinear + crop + convert
+                from flair_for_aigle_tpu.ops.pallas.epilogue import (
+                    upsample_crop_convert,
+                )
+
+                lgs4 = jnp.transpose(logits, (0, 3, 1, 2))
+                pred = upsample_crop_convert(
+                    lgs4, margin=margin_px, scale=4, output_type=output_type,
+                )
             else:
-                probs = jax.nn.softmax(lg, axis=1)
-                pred = jnp.round(probs * 255).astype(jnp.uint8)
+                lg = logits[:, :, margin_px:tile_size - margin_px,
+                            margin_px:tile_size - margin_px].astype(jnp.float32)
+                if output_type == "argmax":
+                    pred = jnp.argmax(lg, axis=1).astype(jnp.uint8)[:, None]
+                else:
+                    probs = jax.nn.softmax(lg, axis=1)
+                    pred = jnp.round(probs * 255).astype(jnp.uint8)
             if rescale_idx is not None:
                 pred = jnp.take(pred, rescale_idx, axis=-2)
                 pred = jnp.take(pred, rescale_idx, axis=-1)
@@ -937,13 +950,26 @@ def inference(model, variables, dataloader, tiles, config: Dict, raster_img):
     raster_logits = np.zeros((n_out, img_height, img_width), dtype=np.int8)
 
     task0 = config["labels"][0]
+    stride4 = bool(getattr(model, "config", {}).get("zonal_stride4_logits"))
     for batch in dataloader:
         valid = batch.pop("valid", None)
         indices = np.asarray(batch["index"]).reshape(-1)
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if isinstance(v, np.ndarray) and k != "index"}
         logits_tasks, _ = model.apply(variables, jb)
-        logits = np.asarray(logits_tasks[task0])
+        lg = logits_tasks[task0]
+        if stride4:
+            # model emitted stride-4 NHWC (fused-epilogue contract); this
+            # legacy accumulate variant needs the full-res NCHW logits
+            from flair_for_aigle_tpu.models.upernet import (
+                resize_bilinear_align_corners,
+            )
+
+            lg = resize_bilinear_align_corners(
+                lg, lg.shape[-3] * 4, lg.shape[-2] * 4
+            )
+            lg = jnp.transpose(lg, (0, 3, 1, 2))
+        logits = np.asarray(lg)
         for i, idx in enumerate(indices):
             if valid is not None and i >= valid:
                 continue

@@ -139,6 +139,28 @@ def build_inference_model(config: Dict[str, Any], patch_sizes: Dict[str, int],
     Returns (model, variables, model_cfg).
     """
     model_cfg = prepare_model_config(config)
+    # fused upsample-crop-convert epilogue (ops/pallas/epilogue.py): on TPU
+    # the model emits stride-4 NHWC logits and the inference engine's kernel
+    # does x4-bilinear + margin crop + argmax/class-prob in one pass.
+    # 'auto' (default) gates on platform + arch + VMEM fit; config key
+    # ``fused_epilogue``: auto|True|False.
+    flag = config.get("fused_epilogue", "auto")
+    if flag:
+        import jax as _jax
+
+        from flair_for_aigle_tpu.ops.pallas import epilogue as _epi
+
+        arch_ok = str(config.get("monotemp_arch", "")).endswith("-upernet")
+        tile = int(config.get("img_pixels_detection", 512))
+        margin = int(config.get("margin", 0))
+        n_cls = max(
+            (len(t["class_names"]) for t in config.get("tasks", [])
+             if t.get("active")), default=0,
+        )
+        fit = _epi.supports(n_cls, tile // 4, tile // 4, margin, 4)
+        on_tpu = _jax.devices()[0].platform == "tpu"
+        if arch_ok and fit and (flag is True or on_tpu):
+            model_cfg["zonal_stride4_logits"] = True
     model = FlairHubModel(config=model_cfg, img_input_sizes=patch_sizes)
     example = example_batch_for(model_cfg, patch_sizes, batch_size, t_steps)
     # jit the init: one compiled program instead of per-op dispatch (which is
