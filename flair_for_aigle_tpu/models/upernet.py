@@ -81,6 +81,23 @@ class ConvBNReLU(nn.Module):
         return nn.relu(x)
 
 
+class SplitInputConvBNReLU(nn.Module):
+    """ConvBNReLU over a channel-concatenation, computed concat-free
+    (TorchConv list-input mode). Identical param tree to ConvBNReLU."""
+
+    features: int
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        x = TorchConv(
+            self.features, self.kernel_size, 1, self.kernel_size // 2,
+            use_bias=False, name="0",
+        )(xs)
+        x = TorchBatchNorm(name="1")(x, use_running_average=not train)
+        return nn.relu(x)
+
+
 class PSPBlock(nn.Module):
     out_features: int
     pool_size: int
@@ -139,10 +156,14 @@ class UPerNetDecoder(nn.Module):
         resized = [
             resize_bilinear_nhwc(f, target_h, target_w) for f in fpn_features
         ]
-        x = jnp.concatenate(resized, axis=-1)
-        return ConvBNReLU(self.segmentation_channels, 3, name="fpn_bottleneck")(
-            x, train=train
-        )
+        # concat-free bottleneck: conv is linear in input channels, so the
+        # 3x3 conv over the concatenated pyramid equals the sum of per-level
+        # convs with the kernel sliced along C_in — skipping the (B, H/4,
+        # W/4, 5*pyramid) concat materialization (~1.3 GB/batch-16 of HBM
+        # traffic at swin-base 512px). Params identical to the concat form.
+        return SplitInputConvBNReLU(
+            self.segmentation_channels, 3, name="fpn_bottleneck"
+        )(resized, train=train)
 
 
 class UPerNetSegmentationHead(nn.Module):
