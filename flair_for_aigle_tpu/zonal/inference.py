@@ -605,6 +605,18 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
     stripes: Dict[str, list] = {t: [] for t in tasks}
     consumed = 0
     stripe_min_rows = 256
+    # 5-bit packing of argmax stripes: 1.6x fewer D2H bytes (the tunnel's
+    # D2H rate is the elapsed-time tail). class_prob canvases are dense
+    # probability bytes and ship unpacked. config 'pack_d2h' to disable.
+    pack = (config.get("pack_d2h", True) and output_type == "argmax"
+            and all(output_files[t].count == 1 for t in tasks)
+            and all(len(tk["class_names"]) <= 32
+                    for tk in config["tasks"] if tk.get("active")))
+    if pack:
+        from flair_for_aigle_tpu.ops.pack import pack_labels5, packed_width
+
+        _pack_jit = jax.jit(pack_labels5)
+        w8 = {t: -(-img_w[t] // 8) * 8 for t in tasks}
 
     def fetch_final_stripes(frontier: int) -> None:
         nonlocal fetched_to
@@ -612,7 +624,12 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         if frontier - fetched_to < stripe_min_rows:
             return
         for t in tasks:
-            stripe = canvases[t][:, fetched_to:frontier, : img_w[t]]
+            if pack:
+                stripe = _pack_jit(
+                    canvases[t][:, fetched_to:frontier, : w8[t]]
+                )
+            else:
+                stripe = canvases[t][:, fetched_to:frontier, : img_w[t]]
             stripe.copy_to_host_async()
             stripes[t].append((fetched_to, stripe))
         fetched_to = frontier
@@ -744,7 +761,8 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         t_disp += time.perf_counter() - t0
         t0 = time.perf_counter()
         _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
-                           output_files)
+                           output_files, pack_jit=_pack_jit if pack else None,
+                           w8=w8 if pack else None)
         if timing:
             logger.warning(
                 "[timing] resident path: read=%.2fs put=%.2fs dispatch=%.2fs "
@@ -796,21 +814,31 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         fetch_final_stripes(future_min_top[min(consumed, n_total)])
 
     _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
-                       output_files)
+                       output_files, pack_jit=_pack_jit if pack else None,
+                       w8=w8 if pack else None)
     logger.info("[ok] canvases written")
 
 
 def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
-                       output_files):
+                       output_files, pack_jit=None, w8=None):
     """Fetch any canvas rows not yet streamed and land every stripe."""
+    unpack = None
+    if pack_jit is not None:
+        from flair_for_aigle_tpu.ops.pack import unpack_labels5 as unpack
+
     for t in tasks:
         if fetched_to < img_h[t]:
-            stripe = canvases[t][:, fetched_to:img_h[t], : img_w[t]]
+            if pack_jit is not None:
+                stripe = pack_jit(canvases[t][:, fetched_to:img_h[t], : w8[t]])
+            else:
+                stripe = canvases[t][:, fetched_to:img_h[t], : img_w[t]]
             stripe.copy_to_host_async()
             stripes[t].append((fetched_to, stripe))
         w = output_files[t]
         for y0, stripe in stripes[t]:
             arr = np.asarray(stripe)
+            if unpack is not None:
+                arr = unpack(arr, img_w[t])
             w.canvas[:, y0:y0 + arr.shape[1], :] = arr
         w.close()
 

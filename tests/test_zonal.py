@@ -372,3 +372,18 @@ def test_device_resident_tiles_rescale_and_scaling_norm(tmp_path):
     # scaling norm: host float64 img_as_float vs device float32 may differ
     # only at argmax ties; require near-exact agreement
     assert (want == got).mean() > 0.999
+
+
+def test_pack_labels5_roundtrip():
+    import jax
+    import jax.numpy as jnp
+    from flair_for_aigle_tpu.ops.pack import (
+        pack_labels5, packed_width, unpack_labels5,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 32, (2, 13, 40), dtype=np.int64).astype(np.uint8)
+    packed = np.asarray(jax.jit(pack_labels5)(jnp.asarray(x)))
+    assert packed.shape == (2, 13, packed_width(40))
+    got = unpack_labels5(packed, 37)
+    np.testing.assert_array_equal(got, x[:, :, :37])
