@@ -291,6 +291,33 @@ class TorchLayerNorm(nn.Module):
         return out.astype(x.dtype)
 
 
+class LayerNormParams(nn.Module):
+    """Param-shadow of TorchLayerNorm: declares the identical (scale, bias)
+    tree (same names, shapes, initializers -> same init values) and returns
+    the raw params for fused kernels instead of computing."""
+
+    @nn.compact
+    def __call__(self, ch: int):
+        scale = self.param("scale", nn.initializers.ones, (ch,))
+        bias = self.param("bias", nn.initializers.zeros, (ch,))
+        return scale, bias
+
+
+class LinearParams(nn.Module):
+    """Param-shadow of TorchLinear (same tree, raw params out)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_f: int):
+        kernel = self.param("kernel", torch_kaiming_uniform(),
+                            (in_f, self.features))
+        bias = (self.param("bias", torch_fanin_bias_uniform(in_f),
+                           (self.features,)) if self.use_bias else None)
+        return kernel, bias
+
+
 class TorchLinear(nn.Module):
     """Linear layer; kernel stored (in, out) = torch weight transposed."""
 
@@ -376,3 +403,16 @@ class MLP(nn.Module):
         x = nn.gelu(x, approximate=False)
         x = TorchLinear(self.out, name="fc2")(x)
         return x
+
+
+class MLPParams(nn.Module):
+    """Param-shadow of MLP (fc1/fc2 trees, raw params out)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, in_f: int):
+        p1 = LinearParams(self.hidden, name="fc1")(in_f)
+        p2 = LinearParams(self.out, name="fc2")(self.hidden)
+        return p1, p2

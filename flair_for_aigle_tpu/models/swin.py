@@ -213,9 +213,24 @@ class SwinBlock(nn.Module):
             y = y[:, :h, :w, :]
         if ss:
             y = jnp.roll(y, (ss, ss), axis=(1, 2))
+
+        hidden = int(self.dim * self.mlp_ratio)
+        from flair_for_aigle_tpu.models.layers import LayerNormParams, MLPParams
+        from flair_for_aigle_tpu.ops.pallas import ffn as ffnk
+
+        if (not train and _use_attn_kernel(self.kernel_mode)
+                and ffnk.supports(b * h * w, c, hidden)):
+            # fused residual+LN+MLP+residual tail (param-shadow modules keep
+            # the norm2/mlp tree identical to the XLA path)
+            ln_s, ln_b = LayerNormParams(name="norm2")(c)
+            (w1, b1), (w2, b2) = MLPParams(hidden, self.dim, name="mlp")(c)
+            return ffnk.fused_ln_mlp_residual(
+                shortcut, y, ln_s, ln_b, w1, b1, w2, b2
+            )
+
         x = shortcut + y
         y = TorchLayerNorm(name="norm2")(x)
-        x = x + MLP(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(y)
+        x = x + MLP(hidden, self.dim, name="mlp")(y)
         return x
 
 

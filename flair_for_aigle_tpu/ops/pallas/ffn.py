@@ -1,0 +1,178 @@
+"""Fused transformer-block tail: residual + LayerNorm + MLP + residual
+(Pallas TPU kernel).
+
+Computes ``x2 = x + attn; out = x2 + fc2(gelu(fc1(LN(x2))))`` reading the
+two input rasters once and writing the output once. The XLA lowering
+round-trips every intermediate through HBM (the residual sum, the f32 LN
+output, the 4C-wide hidden activations twice, fc2's output) — on the
+bandwidth-bound swin encoder that is most of the non-attention traffic.
+
+Grid: (token blocks, hidden chunks). The hidden dimension is processed in
+chunks whose fc1/fc2 weight slices fit VMEM (swin-base stage 3 weights
+are 8 MB each in bf16); partial fc2 products accumulate in a float32
+scratch that lives across the chunk dimension, torch-matching epilogue
+(bias adds and GELU in the compute dtype) applied per chunk.
+
+Numerics: LN statistics in f32 (same as TorchLayerNorm), matmuls f32-
+accumulated from compute-dtype inputs, fc1 bias + exact (erf) GELU in the
+compute dtype exactly like the XLA MLP; fc2 partials accumulate in f32
+(the XLA path accumulates in f32 inside one matmul — same reduction, one
+extra rounding per chunk boundary).
+
+Inference-only (no VJP); models/swin.py gates on ``is_training``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(z: jax.Array) -> jax.Array:
+    """float32 erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7) —
+    Mosaic has no erf/erfc lowering."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(z)
+    za = jnp.abs(z)
+    t = 1.0 / (1.0 + p * za)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-za * za))
+
+
+def _gelu_exact(x: jax.Array) -> jax.Array:
+    """gelu(approximate=False) in f32 via the erf polynomial."""
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + _erf(xf * np.float32(0.7071067811865476)))
+            ).astype(x.dtype)
+
+
+def _pick_tb(n: int, c: int, itemsize: int) -> int:
+    """Token-block rows: largest of {512, 256, 128, 64, 32, 16, 8} dividing
+    n whose x/attn/out blocks + f32 scratch fit the VMEM budget."""
+    for tb in (512, 256, 128, 64, 32, 16, 8):
+        if n % tb:
+            continue
+        est = tb * c * itemsize * 3 * 2 + tb * c * 4 * 2
+        if est <= 8 * (1 << 20):
+            return tb
+    return 0
+
+
+def _pick_hc(c: int, hidden: int, itemsize: int) -> int:
+    """Hidden-chunk width: largest divisor of ``hidden`` with each weight
+    slice <= ~2.5 MB."""
+    budget = int(2.5 * (1 << 20))
+    hc = hidden
+    while hc > 128 and c * hc * itemsize > budget:
+        hc //= 2
+    return hc if hidden % hc == 0 else hidden
+
+
+def _kernel_body(tb: int, c: int, hc: int, n_chunks: int, eps: float,
+                 out_dtype):
+    def body(x_ref, a_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+             b2_ref, out_ref, acc_ref):
+        j = pl.program_id(1)
+        # residual add in the compute dtype (XLA-path rounding parity)
+        x2 = (x_ref[:] + a_ref[:]).astype(jnp.float32)
+        mean = jnp.mean(x2, axis=-1, keepdims=True)
+        var = jnp.mean((x2 - mean) ** 2, axis=-1, keepdims=True)
+        ln = ((x2 - mean) * jax.lax.rsqrt(var + eps)
+              * lns_ref[0] + lnb_ref[0])
+        ln = ln.astype(x_ref.dtype)
+        h = jnp.dot(ln, w1_ref[:], preferred_element_type=jnp.float32)
+        # torch-parity epilogue: cast to compute dtype, add bias, exact GELU
+        h = h.astype(x_ref.dtype) + b1_ref[0]
+        h = _gelu_exact(h)
+        part = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = x2 + b2_ref[0].astype(jnp.float32)
+
+        acc_ref[:] = acc_ref[:] + part
+
+        @pl.when(j == n_chunks - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_dtype)
+
+    return body
+
+
+@lru_cache(maxsize=None)
+def _build_call(n: int, c: int, hidden: int, eps: float, dtype_str: str,
+                interpret: bool):
+    itemsize = jnp.dtype(dtype_str).itemsize
+    tb = _pick_tb(n, c, itemsize)
+    hc = _pick_hc(c, hidden, itemsize)
+    n_chunks = hidden // hc
+    out_dtype = jnp.dtype(dtype_str)
+    body = _kernel_body(tb, c, hc, n_chunks, eps, out_dtype)
+    call = pl.pallas_call(
+        body,
+        grid=(n // tb, n_chunks),
+        in_specs=[
+            pl.BlockSpec((tb, c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((tb, c), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),  # attn
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # ln scale
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # ln bias
+            pl.BlockSpec((c, hc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # W1 chunk
+            pl.BlockSpec((1, hc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),  # b1 chunk
+            pl.BlockSpec((hc, c), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),  # W2 chunk
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # b2
+        ],
+        out_specs=pl.BlockSpec((tb, c), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tb, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * c * hidden,
+            bytes_accessed=3 * n * c * itemsize + 2 * c * hidden * itemsize,
+            transcendentals=n * hidden,
+        ),
+        interpret=interpret,
+    )
+    return call
+
+
+def fused_ln_mlp_residual(x: jax.Array, attn: jax.Array, ln_scale, ln_bias,
+                          w1, b1, w2, b2, *, eps: float = 1e-5,
+                          interpret: bool | None = None) -> jax.Array:
+    """``x2 = x + attn; x2 + fc2(gelu(fc1(LN(x2))))`` over NHWC rasters."""
+    shape = x.shape
+    c = shape[-1]
+    hidden = w1.shape[-1]
+    n = int(np.prod(shape[:-1]))
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    call = _build_call(n, c, hidden, eps, str(x.dtype), interpret)
+    dt = x.dtype
+    out = call(
+        x.reshape(n, c), attn.reshape(n, c).astype(dt),
+        ln_scale.reshape(1, c).astype(jnp.float32),
+        ln_bias.reshape(1, c).astype(jnp.float32),
+        w1.astype(dt), b1.reshape(1, hidden).astype(dt),
+        w2.astype(dt), b2.reshape(1, c).astype(dt),
+    )
+    return out.reshape(shape)
+
+
+def supports(n: int, c: int, hidden: int, itemsize: int = 2) -> bool:
+    return (c % 128 == 0 and hidden % 128 == 0
+            and _pick_tb(n, c, itemsize) > 0
+            and hidden % _pick_hc(c, hidden, itemsize) == 0)

@@ -1,0 +1,52 @@
+"""Fused LN+MLP+residual kernel vs the XLA SwinBlock tail."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flair_for_aigle_tpu.models.swin import SwinBlock
+from flair_for_aigle_tpu.ops.pallas.ffn import fused_ln_mlp_residual
+
+
+def test_fused_ffn_matches_xla():
+    n, c, hidden = 64, 128, 512
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+    a = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+    ln_s = jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1, jnp.float32)
+    ln_b = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, hidden)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(hidden,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(hidden, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)) * 0.05, jnp.float32)
+
+    x2 = x + a
+    xf = x2.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
+    h = jax.nn.gelu(ln @ w1 + b1, approximate=False)
+    want = np.asarray(x2 + (h @ w2 + b2))
+
+    got = np.asarray(fused_ln_mlp_residual(x, a, ln_s, ln_b, w1, b1, w2, b2))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_swinblock_kernel_tree_and_output_match():
+    # kernel_mode 'on' (interpret on CPU) must produce the SAME param tree
+    # as the XLA path (shadow modules) and matching outputs
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 8, 8, 128)), jnp.float32
+    )
+    blk_ref = SwinBlock(dim=128, num_heads=4, window_size=4, shift=True,
+                        kernel_mode="off")
+    blk_ker = SwinBlock(dim=128, num_heads=4, window_size=4, shift=True,
+                        kernel_mode="on")
+    v_ref = blk_ref.init(jax.random.key(0), x)
+    v_ker = blk_ker.init(jax.random.key(0), x)
+    assert jax.tree.structure(v_ref) == jax.tree.structure(v_ker)
+    for a, b in zip(jax.tree.leaves(v_ref), jax.tree.leaves(v_ker)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    want = np.asarray(blk_ref.apply(v_ref, x))
+    got = np.asarray(blk_ker.apply(v_ref, x))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
