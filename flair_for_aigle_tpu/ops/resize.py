@@ -18,7 +18,7 @@ is applied (matching torch defaults, unlike ``jax.image.resize``).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -57,28 +57,34 @@ def _scipy_zoom0_index(in_size: int, out_size: int):
     return np.clip(idx, 0, in_size - 1)
 
 
+@lru_cache(maxsize=None)
+def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) float32 two-tap interpolation matrix (align_corners=False,
+    torch weights via _torch_bilinear_weights)."""
+    lo, hi, f = _torch_bilinear_weights(in_size, out_size)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - f)
+    np.add.at(m, (rows, hi), f)
+    return m
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def resize_bilinear_nhwc(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Bilinear resize of (..., H, W, C), torch align_corners=False semantics."""
+    """Bilinear resize of (..., H, W, C), torch align_corners=False
+    semantics. Expressed as two dense f32 interpolation matmuls so it rides
+    the MXU — the gather+lerp form materializes four full-size f32
+    intermediates per call, which dominated the UPerNet decoder's HBM
+    traffic on TPU (same weights, same two-term sums)."""
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == (out_h, out_w):
         return x
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-
-    lo_h, hi_h, wh = _torch_bilinear_weights(h, out_h)
-    lo_w, hi_w, ww = _torch_bilinear_weights(w, out_w)
-
-    # rows
-    top = jnp.take(xf, jnp.asarray(lo_h), axis=-3)
-    bot = jnp.take(xf, jnp.asarray(hi_h), axis=-3)
-    wh = jnp.asarray(wh)[:, None, None]
-    rows = top * (1.0 - wh) + bot * wh
-    # cols
-    left = jnp.take(rows, jnp.asarray(lo_w), axis=-2)
-    right = jnp.take(rows, jnp.asarray(hi_w), axis=-2)
-    ww = jnp.asarray(ww)[:, None]
-    out = left * (1.0 - ww) + right * ww
+    mh = jnp.asarray(_bilinear_matrix(h, out_h))
+    mw = jnp.asarray(_bilinear_matrix(w, out_w))
+    out = jnp.einsum("oh,...hwc->...owc", mh, xf)
+    out = jnp.einsum("pw,...owc->...opc", mw, out)
     return out.astype(dtype)
 
 
