@@ -247,6 +247,8 @@ class FlairHubModel(nn.Module):
                 name=f"encoders.{mod}.seg_model",
                 remat=cfg["models"]["monotemp_model"].get("remat", False),
                 attn_f32=cfg["models"]["monotemp_model"].get("attn_f32", True),
+                attn_kernel=cfg["models"]["monotemp_model"].get(
+                    "attn_kernel", "auto"),
             )
             fmaps[mod] = enc(self._nchw_to_nhwc(batch[mod]), train=train)
             if plan["aux_losses"].get(mod):

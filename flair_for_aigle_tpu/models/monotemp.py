@@ -56,6 +56,7 @@ class TimmUniversalEncoder(nn.Module):
     in_channels: int
     remat: bool = False
     attn_f32: bool = True
+    attn_kernel: str = "auto"
 
     @property
     def out_channels(self) -> tuple[int, ...]:
@@ -67,18 +68,21 @@ class TimmUniversalEncoder(nn.Module):
         return SwinTransformerEncoder(
             in_channels=self.in_channels, embed_dim=ed, depths=depths,
             num_heads=heads, window_size=win, remat=self.remat,
-            attn_f32=self.attn_f32, name="model",
+            attn_f32=self.attn_f32, attn_kernel=self.attn_kernel,
+            name="model",
         )(x, train=train)
 
 
 def make_encoder(encoder_name: str, in_channels: int, name: str,
-                 remat: bool = False, attn_f32: bool = True) -> nn.Module:
+                 remat: bool = False, attn_f32: bool = True,
+                 attn_kernel: str = "auto") -> nn.Module:
     """Encoder module rooted at ``name`` with smp-compatible internal naming."""
     if encoder_name in _RESNET_SPECS:
         return ResNetEncoder(arch=encoder_name, in_channels=in_channels, name=name)
     if encoder_name in _SWIN_SPECS:
         return TimmUniversalEncoder(encoder_name, in_channels, remat=remat,
-                                    attn_f32=attn_f32, name=name)
+                                    attn_f32=attn_f32, attn_kernel=attn_kernel,
+                                    name=name)
     raise ValueError(f"Unknown encoder: {encoder_name}")
 
 

@@ -70,6 +70,14 @@ def build_segmentation_module(config: Dict[str, Any], in_img_sizes,
     """Create the model + initialized variables (reference
     build_segmentation_module, module_setup.py:48-82)."""
     assert stage in ("train", "predict")
+    # GSPMD cannot partition pallas_call: when eval/predict steps run over a
+    # multi-device mesh, the fused swin kernels must stay off (training
+    # forward/backward never uses them — models/swin.py is_training gate)
+    if len(jax.devices()) > 1:
+        mm = dict(config.get("models", {}).get("monotemp_model", {}))
+        mm.setdefault("attn_kernel", "off")
+        config = {**config, "models": {**config["models"],
+                                       "monotemp_model": mm}}
     model = FlairHubModel(config=config, img_input_sizes=in_img_sizes)
     if monkeybatch is None:
         raise ValueError("monkeybatch required to initialize variables")
