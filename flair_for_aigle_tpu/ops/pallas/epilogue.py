@@ -16,6 +16,9 @@ compute_dtype=bfloat16) and the interpolation/softmax accumulate in f32,
 exactly like the XLA path's float32 epilogue.
 
 argmax ties break to the lowest class index (jnp.argmax parity).
+class_prob quantization matches the unfused path within one uint8 step on
+f32 logits and two steps on bf16 logits (the online-softmax rescale in
+the stats pass adds one extra f32 rounding vs max-then-sum).
 """
 
 from __future__ import annotations
@@ -65,36 +68,59 @@ def _body_argmax(k_cls: int, inner: int):
     return body
 
 
-def _body_class_prob(k_cls: int, inner: int):
-    def body(lg_ref, r_ref, c_ref, out_ref):
-        def up(k):
-            return jnp.dot(
-                jnp.dot(r_ref[:], lg_ref[0, k].astype(jnp.float32),
-                        preferred_element_type=jnp.float32),
-                c_ref[:], preferred_element_type=jnp.float32,
-            )
+def _up(lg_ref, r_ref, c_ref, k):
+    return jnp.dot(
+        jnp.dot(r_ref[:], lg_ref[0, k].astype(jnp.float32),
+                preferred_element_type=jnp.float32),
+        c_ref[:], preferred_element_type=jnp.float32,
+    )
 
-        m = up(0)
-        for k in range(1, k_cls):
-            m = jnp.maximum(m, up(k))
-        s = jnp.zeros((inner, inner), jnp.float32)
-        for k in range(k_cls):
-            s = s + jnp.exp(up(k) - m)
-        inv = 255.0 / s
-        for k in range(k_cls):
-            out_ref[0, k] = jnp.round(jnp.exp(up(k) - m) * inv).astype(jnp.uint8)
+
+def _body_softmax_stats(k_cls: int, inner: int):
+    """Pass 1 of class_prob: per-pixel max and sum-exp over classes as an
+    online softmax over a (image, class) grid — the all-classes-at-once
+    form exceeds the 16 MB VMEM budget at 19 classes / 432 px. The m/s
+    output blocks revisit across the class dimension (same index map), so
+    the running rescale happens in VMEM."""
+
+    def body(lg_ref, r_ref, c_ref, m_ref, s_ref):
+        k = pl.program_id(1)
+        u = _up(lg_ref, r_ref, c_ref, 0)
+
+        @pl.when(k == 0)
+        def _():
+            m_ref[0] = u
+            s_ref[0] = jnp.ones((inner, inner), jnp.float32)
+
+        @pl.when(k != 0)
+        def _():
+            m_old = m_ref[0]
+            m_new = jnp.maximum(m_old, u)
+            s_ref[0] = (s_ref[0] * jnp.exp(m_old - m_new)
+                        + jnp.exp(u - m_new))
+            m_ref[0] = m_new
+
+    return body
+
+
+def _body_class_prob_write(inner: int):
+    """Pass 2: one grid instance per (image, class) quantizes its plane."""
+
+    def body(lg_ref, r_ref, c_ref, m_ref, s_ref, out_ref):
+        u = _up(lg_ref, r_ref, c_ref, 0)
+        q = jnp.round(jnp.exp(u - m_ref[0]) * (255.0 / s_ref[0]))
+        # Mosaic has no f32->uint8 cast; round through int32
+        out_ref[0, 0] = q.astype(jnp.int32).astype(jnp.uint8)
 
     return body
 
 
 @lru_cache(maxsize=None)
-def _build_call(b: int, k_cls: int, h4: int, w4: int, margin: int, scale: int,
-                output_type: str, in_dtype_str: str, interpret: bool):
+def _build_argmax_call(b: int, k_cls: int, h4: int, w4: int, margin: int,
+                       scale: int, in_dtype_str: str, interpret: bool):
     inner = h4 * scale - 2 * margin
-    body = (_body_argmax if output_type == "argmax" else
-            _body_class_prob)(k_cls, inner)
-    out_c = 1 if output_type == "argmax" else k_cls
-    call = pl.pallas_call(
+    body = _body_argmax(k_cls, inner)
+    return pl.pallas_call(
         body,
         grid=(b,),
         in_specs=[
@@ -105,29 +131,54 @@ def _build_call(b: int, k_cls: int, h4: int, w4: int, margin: int, scale: int,
             pl.BlockSpec((w4, inner), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, out_c, inner, inner) if output_type != "argmax"
-            else (1, inner, inner),
-            (lambda i: (i, 0, 0, 0)) if output_type != "argmax"
-            else (lambda i: (i, 0, 0)),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, out_c, inner, inner) if output_type != "argmax"
-            else (b, inner, inner), jnp.uint8,
-        ),
+        out_specs=pl.BlockSpec((1, inner, inner), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, inner, inner), jnp.uint8),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * k_cls * inner * h4 * (w4 + inner)
-            * (3 if output_type != "argmax" else 1),
+            flops=2 * b * k_cls * inner * h4 * (w4 + inner),
             bytes_accessed=b * (k_cls * h4 * w4
                                 * jnp.dtype(in_dtype_str).itemsize
-                                + out_c * inner * inner),
-            transcendentals=(2 * b * k_cls * inner * inner
-                             if output_type != "argmax" else 0),
+                                + inner * inner),
+            transcendentals=0,
         ),
         interpret=interpret,
     )
-    return call
+
+
+@lru_cache(maxsize=None)
+def _build_class_prob_calls(b: int, k_cls: int, h4: int, w4: int, margin: int,
+                            scale: int, in_dtype_str: str, interpret: bool):
+    inner = h4 * scale - 2 * margin
+    lg_spec = pl.BlockSpec((1, k_cls, h4, w4), lambda i, *_: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((inner, h4), lambda i, *_: (0, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((w4, inner), lambda i, *_: (0, 0),
+                          memory_space=pltpu.VMEM)
+    plane = pl.BlockSpec((1, inner, inner), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    lg1_spec = pl.BlockSpec((1, 1, h4, w4), lambda i, k: (i, k, 0, 0),
+                            memory_space=pltpu.VMEM)
+    stats = pl.pallas_call(
+        _body_softmax_stats(k_cls, inner),
+        grid=(b, k_cls),
+        in_specs=[lg1_spec, r_spec, c_spec],
+        out_specs=(plane, plane),
+        out_shape=(jax.ShapeDtypeStruct((b, inner, inner), jnp.float32),
+                   jax.ShapeDtypeStruct((b, inner, inner), jnp.float32)),
+        interpret=interpret,
+    )
+    write = pl.pallas_call(
+        _body_class_prob_write(inner),
+        grid=(b, k_cls),
+        in_specs=[lg1_spec, r_spec, c_spec, plane, plane],
+        out_specs=pl.BlockSpec((1, 1, inner, inner),
+                               lambda i, k: (i, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k_cls, inner, inner), jnp.uint8),
+        interpret=interpret,
+    )
+    return stats, write
 
 
 def upsample_crop_convert(logits_s4: jax.Array, *, margin: int, scale: int = 4,
@@ -142,12 +193,14 @@ def upsample_crop_convert(logits_s4: jax.Array, *, margin: int, scale: int = 4,
     inner = h4 * scale - 2 * margin
     r = jnp.asarray(_interp_matrix(h4, scale, margin, margin + inner))
     c = jnp.asarray(_interp_matrix(w4, scale, margin, margin + inner)).T
-    call = _build_call(b, k_cls, h4, w4, margin, scale, output_type,
-                       str(logits_s4.dtype), interpret)
-    out = call(logits_s4, r, c)
     if output_type == "argmax":
-        out = out[:, None]
-    return out
+        call = _build_argmax_call(b, k_cls, h4, w4, margin, scale,
+                                  str(logits_s4.dtype), interpret)
+        return call(logits_s4, r, c)[:, None]
+    stats, write = _build_class_prob_calls(b, k_cls, h4, w4, margin, scale,
+                                           str(logits_s4.dtype), interpret)
+    m, s = stats(logits_s4, r, c)
+    return write(logits_s4, r, c, m, s)
 
 
 def supports(k_cls: int, h4: int, w4: int, margin: int, scale: int) -> bool:
