@@ -387,3 +387,50 @@ def test_pack_labels5_roundtrip():
     assert packed.shape == (2, 13, packed_width(40))
     got = unpack_labels5(packed, 37)
     np.testing.assert_array_equal(got, x[:, :, :37])
+
+
+def test_kernel_gating_under_dp(tmp_path):
+    """data_parallel_devices > 1 must force the unsharded pallas paths off
+    (GSPMD cannot partition pallas_call)."""
+    from flair_for_aigle_tpu.zonal.model_utils import prepare_model_config
+
+    base = {
+        "monotemp_arch": "swin_base_patch4_window12_384-upernet",
+        "model_weights": "",
+        "modalities": {
+            "inputs": {"AERIAL_RGBI": True, "AERIAL-RLT_PAN": False,
+                       "DEM_ELEV": False, "SPOT_RGBI": False,
+                       "SENTINEL2_TS": False, "SENTINEL1-ASC_TS": False,
+                       "SENTINEL1-DESC_TS": False},
+            "AERIAL_RGBI": {"input_img_path": "", "channels": [1, 2, 3]},
+        },
+        "tasks": [{"name": "AERIAL_LABEL-COSIA", "active": True,
+                   "class_names": {i: f"c{i}" for i in range(5)}}],
+    }
+    mc = prepare_model_config({**base, "data_parallel_devices": 2})
+    assert mc["models"]["monotemp_model"]["attn_kernel"] == "off"
+    mc1 = prepare_model_config({**base, "attn_kernel": "on"})
+    assert mc1["models"]["monotemp_model"]["attn_kernel"] == "on"
+    mc2 = prepare_model_config(base)
+    assert mc2["models"]["monotemp_model"]["attn_kernel"] == "auto"
+
+
+def test_pack_d2h_disabled_matches(tmp_path):
+    """pack_d2h=False must produce a byte-identical raster to the default
+    packed path."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96)
+    outs = {}
+    for packed in (True, False):
+        cfg = make_zonal_config(tmp_path, img)
+        cfg["pack_d2h"] = packed
+        cfg["output_path"] = str(tmp_path / f"out_{packed}")
+        os.makedirs(cfg["output_path"], exist_ok=True)
+        from flair_for_aigle_tpu.zonal.inference import run_inference
+
+        paths = run_inference(cfg)
+        from flair_for_aigle_tpu.geo.geotiff import open_raster
+
+        with open_raster(list(paths.values())[0]) as src:
+            outs[packed] = src.read(1)
+    np.testing.assert_array_equal(outs[True], outs[False])
