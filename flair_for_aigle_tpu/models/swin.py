@@ -138,17 +138,20 @@ class WindowAttention(nn.Module):
 
         if (not train and wh == ww and wak.supports(c, nh, ws)
                 and _use_attn_kernel(self.kernel_mode)):
+            from flair_for_aigle_tpu.models.layers import LinearParams
+
             x = window_partition(y, ws)
-            qkv = TorchLinear(3 * c, name="qkv")(x)
+            wqkv, bqkv = LinearParams(3 * c, name="qkv")(c)
+            wproj, bproj = LinearParams(c, name="proj")(c)
             bias = jnp.transpose(
                 table[jnp.asarray(idx)].reshape(t, t, nh), (2, 0, 1)
             ).astype(jnp.float32)
             out = wak.fused_window_attention(
-                qkv, bias, num_heads=nh, window_size=ws, shift_size=ss,
+                x, wqkv, bqkv, wproj, bproj, bias,
+                num_heads=nh, window_size=ws, shift_size=ss,
                 grid_hw=(hp // ws, wp // ws), out_dtype=y.dtype,
             )
-            out = window_reverse(out, ws, hp, wp)
-            return TorchLinear(c, name="proj")(out)
+            return window_reverse(out, ws, hp, wp)
 
         x = window_partition(y, ws)
         bnw = x.shape[0]

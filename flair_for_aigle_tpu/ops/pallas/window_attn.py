@@ -1,17 +1,21 @@
 """Fused swin window attention (Pallas TPU kernel).
 
-Grid over window batches of the already-partitioned qkv windows
-(B*nW, T, 3C); each instance runs, entirely in VMEM:
+Grid over window batches of the already-partitioned feature windows
+(B*nW, T, C); each instance runs, entirely in VMEM with the qkv and
+output-projection weights resident:
 
-  per-head QK^T (f32 accum) -> +relative-position bias -> +shift mask
-  (pattern picked from the window's position in the padded window grid)
-  -> f32 softmax -> compute-dtype probs @ V -> head merge
+  qkv = x @ Wqkv + b -> per-head QK^T (f32 accum) -> +relative-position
+  bias -> +shift mask (pattern picked from the window's position in the
+  padded window grid) -> f32 softmax -> compute-dtype probs @ V ->
+  head merge -> out = attn @ Wproj + b
 
-The XLA lowering of the same math materializes the (B*nW, nh, T, T) score
-tensors plus six q/k/v/out head-split transposes in HBM per block; at
+The XLA lowering of the same math materializes the (B*nW, T, 3C) qkv
+tensor, the (B*nW, nh, T, T) score tensors, six q/k/v/out head-split
+transposes and the pre-projection attention output in HBM per block; at
 swin-base 512px geometry those dominate the encoder's HBM traffic (the
-step is bandwidth-bound). The kernel's HBM traffic is one read of the qkv
-windows and one write of the output windows.
+step is bandwidth-bound). The kernel's HBM traffic is one read of the
+feature windows, one write of the projected output, and one read of the
+weights per grid pass.
 
 Numerics match the attn_f32=True XLA path: scores/softmax accumulate in
 float32, probabilities are cast to the compute dtype before the PV matmul
@@ -71,15 +75,17 @@ def shift_mask_bank(ws: int, ss: int) -> np.ndarray:
 
 
 def _pick_bw(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
-    """Largest window-batch size that divides bnw and fits VMEM (~10 MB
-    budget: double-buffered qkv + out blocks, bias, mask, f32 scores)."""
+    """Largest window-batch size that divides bnw and fits VMEM (~12 MB
+    budget: resident qkv/proj weights, double-buffered x/out blocks, bias,
+    mask, f32 scores)."""
     t_pad = -(-t // 128) * 128  # scores lane padding
-    fixed = nh * t * t * 4 + 4 * t * t * 4 + nh * t * t_pad * 4
+    fixed = (nh * t * t * 4 + 4 * t * t * 4 + nh * t * t_pad * 4
+             + 4 * c * c * itemsize + t * 3 * c * itemsize)
     for bw in (16, 8, 4, 2, 1):
         if bnw % bw or bw * nh > 64:  # bound the unrolled head loop
             continue
-        per = bw * t * 4 * c * itemsize * 2  # qkv + out, double-buffered
-        if fixed + per <= 10 * (1 << 20):
+        per = bw * t * 2 * c * itemsize * 2  # x + out, double-buffered
+        if fixed + per <= 12 * (1 << 20):
             return bw
     return 1
 
@@ -89,9 +95,16 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
     hd = c // nh
     scale = hd ** -0.5
 
-    def body(qkv_ref, bias_ref, mask_ref, out_ref):
+    def body(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+             mask_ref, out_ref, attn_scratch):
         i = pl.program_id(0)
         for w in range(bw):
+            # in-kernel qkv projection (TorchLinear epilogue: f32 accum ->
+            # compute dtype -> +bias); the (B*nW, T, 3C) qkv tensor never
+            # exists in HBM
+            qkv = jnp.dot(
+                x_ref[w], wqkv_ref[:], preferred_element_type=jnp.float32
+            ).astype(x_ref.dtype) + bqkv_ref[0]
             if shifted:
                 widx = (i * bw + w) % (nwh * nww)
                 li = (widx // nww == nwh - 1).astype(jnp.int32)
@@ -101,9 +114,9 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
             # lane-splitting reshapes like (T, C)->(T, nh, hd) and batch
             # dims off position 0, so heads unroll as standard matmuls
             for h in range(nh):
-                q = qkv_ref[w, :, h * hd:(h + 1) * hd]  # (T, hd)
-                k = qkv_ref[w, :, c + h * hd:c + (h + 1) * hd]
-                v = qkv_ref[w, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+                q = qkv[:, h * hd:(h + 1) * hd]  # (T, hd)
+                k = qkv[:, c + h * hd:c + (h + 1) * hd]
+                v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
                 # (T, hd) x (T2, hd)^T -> (T, T2), f32 accumulate
                 s = lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
@@ -112,12 +125,18 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                 s = s + bias_ref[h]
                 if shifted:
                     s = s + msel
-                probs = jax.nn.softmax(s, axis=-1).astype(qkv_ref.dtype)
+                probs = jax.nn.softmax(s, axis=-1).astype(x_ref.dtype)
                 o = lax.dot_general(
                     probs, v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                out_ref[w, :, h * hd:(h + 1) * hd] = o.astype(out_dtype)
+                attn_scratch[:, h * hd:(h + 1) * hd] = o.astype(x_ref.dtype)
+            # in-kernel output projection
+            out = jnp.dot(
+                attn_scratch[:], wproj_ref[:],
+                preferred_element_type=jnp.float32,
+            ).astype(x_ref.dtype) + bproj_ref[0]
+            out_ref[w] = out.astype(out_dtype)
 
     return body
 
@@ -136,8 +155,16 @@ def _build_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
         body,
         grid=(n_inst,),
         in_specs=[
-            pl.BlockSpec((bw, t, 3 * c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # x windows
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),  # Wqkv
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),  # bqkv
+            pl.BlockSpec((c, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),  # Wproj
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),  # bproj
             pl.BlockSpec((nh, t, t), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, t, t), lambda i: (0, 0, 0),
@@ -146,9 +173,10 @@ def _build_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
         out_specs=pl.BlockSpec((bw, t, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bnw, t, c), out_dtype),
+        scratch_shapes=[pltpu.VMEM((t, c), jnp.dtype(in_dtype_str))],
         cost_estimate=pl.CostEstimate(
-            flops=4 * bnw * nh * t * t * hd,
-            bytes_accessed=bnw * t * 4 * c * itemsize,
+            flops=bnw * (4 * nh * t * t * hd + 2 * t * c * 4 * c),
+            bytes_accessed=bnw * t * 2 * c * itemsize + 4 * c * c * itemsize,
             transcendentals=bnw * nh * t * t,
         ),
         interpret=interpret,
@@ -156,29 +184,33 @@ def _build_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
     return call
 
 
-def fused_window_attention(qkv: jax.Array, bias: jax.Array, *,
+def fused_window_attention(x: jax.Array, wqkv, bqkv, wproj, bproj,
+                           bias: jax.Array, *,
                            num_heads: int, window_size: int, shift_size: int,
                            grid_hw: tuple[int, int],
                            out_dtype=None, interpret: bool | None = None
                            ) -> jax.Array:
-    """Windowed MHA over partitioned qkv windows.
+    """Windowed MHA (qkv projection -> attention -> output projection) over
+    partitioned feature windows, weights VMEM-resident.
 
-    qkv: (B*nW, T, 3C) from window_partition (already cyclic-shifted when
+    x: (B*nW, T, C) from window_partition (already cyclic-shifted when
     shift_size > 0, windows in row-major (wi, wj) order per image).
-    bias: (nh, T, T) float32 relative-position bias (gathered from the
-    table). grid_hw: (nwh, nww) padded window grid, for mask selection.
-    Returns (B*nW, T, C).
+    wqkv/bqkv/wproj/bproj: TorchLinear params. bias: (nh, T, T) float32
+    relative-position bias (gathered from the table). grid_hw: (nwh, nww)
+    padded window grid, for mask selection. Returns (B*nW, T, C).
     """
-    bnw, t, c3 = qkv.shape
-    c = c3 // 3
+    bnw, t, c = x.shape
     shifted = shift_size > 0
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    out_dtype = out_dtype or qkv.dtype
+    out_dtype = out_dtype or x.dtype
     mask = jnp.asarray(shift_mask_bank(window_size, shift_size if shifted else 1))
     call = _build_call(bnw, t, c, num_heads, shifted, grid_hw[0], grid_hw[1],
-                       str(qkv.dtype), str(jnp.dtype(out_dtype)), interpret)
-    return call(qkv, bias.astype(jnp.float32), mask)
+                       str(x.dtype), str(jnp.dtype(out_dtype)), interpret)
+    dt = x.dtype
+    return call(x, wqkv.astype(dt), bqkv.reshape(1, 3 * c).astype(dt),
+                wproj.astype(dt), bproj.reshape(1, c).astype(dt),
+                bias.astype(jnp.float32), mask)
 
 
 def supports(c: int, num_heads: int, ws: int) -> bool:
