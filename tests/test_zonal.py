@@ -434,3 +434,26 @@ def test_pack_d2h_disabled_matches(tmp_path):
         with open_raster(list(paths.values())[0]) as src:
             outs[packed] = src.read(1)
     np.testing.assert_array_equal(outs[True], outs[False])
+
+
+def test_class_prob_fused_epilogue_e2e(tmp_path):
+    """class_prob zonal run: fused epilogue (interpret) within one uint8
+    step of the unfused path, end to end."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96)
+    outs = {}
+    for fused in (False, True):
+        cfg = make_zonal_config(tmp_path, img, output_type="class_prob")
+        cfg["monotemp_arch"] = "resnet18-unet"  # head at full res: skip
+        cfg["fused_epilogue"] = fused
+        cfg["output_path"] = str(tmp_path / f"cp_{fused}")
+        os.makedirs(cfg["output_path"], exist_ok=True)
+        from flair_for_aigle_tpu.zonal.inference import run_inference
+        from flair_for_aigle_tpu.geo.geotiff import open_raster
+
+        paths = run_inference(cfg)
+        with open_raster(list(paths.values())[0]) as src:
+            outs[fused] = src.read()
+    # resnet-unet head is full-res -> fused gate never engages; both paths
+    # must be byte-identical (documents the unet gating)
+    np.testing.assert_array_equal(outs[True], outs[False])
