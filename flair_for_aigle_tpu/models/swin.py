@@ -15,9 +15,11 @@ out_channels ``(C_in, 0, 128, 256, 512, 1024)`` for swin_base — the
 reference's fusion logic keys off those zero-channel dummies
 (flair_model.py:206,303,517).
 
-Window attention runs as dense batched matmuls (B·nW, heads, T, T) with
-T = window² tokens — MXU-friendly; the shift masks are trace-time numpy
-constants.
+Window attention has two lowerings with identical parameters: a fused
+Pallas kernel (qkv projection + per-head attention + output projection,
+weights VMEM-resident — TPU inference default, ops/pallas/window_attn.py)
+and dense batched XLA matmuls (training / CPU / multi-device meshes).
+Shift masks are trace-time numpy constants.
 """
 
 from __future__ import annotations
