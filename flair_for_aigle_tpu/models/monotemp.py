@@ -18,6 +18,7 @@ smp's TimmUniversalEncoder nests the timm backbone under ``model.``).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from flax import linen as nn
@@ -27,26 +28,56 @@ from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
 from flair_for_aigle_tpu.models.unet import SegmentationHead, UnetDecoder
 from flair_for_aigle_tpu.models.upernet import UPerNetDecoder, UPerNetSegmentationHead
 
-_SWIN_SPECS = {
-    # name: (embed_dim, depths, num_heads, window)
-    "swin_tiny_patch4_window7_224": (96, (2, 2, 6, 2), (3, 6, 12, 24), 7),
-    "swin_small_patch4_window7_224": (96, (2, 2, 18, 2), (3, 6, 12, 24), 7),
-    "swin_base_patch4_window7_224": (128, (2, 2, 18, 2), (4, 8, 16, 32), 7),
-    "swin_base_patch4_window12_384": (128, (2, 2, 18, 2), (4, 8, 16, 32), 12),
-    "swin_large_patch4_window12_384": (192, (2, 2, 18, 2), (6, 12, 24, 48), 12),
+# timm Swin-v1 size table: size tag -> (embed_dim, depths, num_heads).
+# Any timm arch string ``swin_<size>_patch<p>_window<w>_<res>`` resolves
+# against it — matching the reference's open ``tu-<timm>`` fallback surface
+# (reference monotemp_model.py:67-92) for the swin family.
+_SWIN_SIZES = {
+    "tiny": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
+    "small": (96, (2, 2, 18, 2), (3, 6, 12, 24)),
+    "base": (128, (2, 2, 18, 2), (4, 8, 16, 32)),
+    "large": (192, (2, 2, 18, 2), (6, 12, 24, 48)),
 }
+_SWIN_NAME_RE = re.compile(r"swin_([a-z]+)_patch(\d+)_window(\d+)_(\d+)")
+
+
+def swin_spec(encoder_name: str):
+    """(embed_dim, depths, heads, window, patch) for a timm swin v1 name,
+    else None."""
+    m = _SWIN_NAME_RE.fullmatch(encoder_name)
+    if not m or m.group(1) not in _SWIN_SIZES:
+        return None
+    ed, depths, heads = _SWIN_SIZES[m.group(1)]
+    return ed, depths, heads, int(m.group(3)), int(m.group(2))
+
+
+def _strip_tu(encoder_name: str) -> str:
+    """Reference FLAIR_Monotemp retries unknown encoders with smp's
+    ``tu-<timm>`` prefix (monotemp_model.py:76-92); accept it spelled out."""
+    return encoder_name[3:] if encoder_name.startswith("tu-") else encoder_name
+
+
+def _unknown_encoder_error(encoder_name: str) -> ValueError:
+    return ValueError(
+        f"Unknown encoder '{encoder_name}'. Supported families: "
+        f"resnet ({', '.join(sorted(_RESNET_SPECS))}) and timm swin v1 "
+        f"(any 'swin_<size>_patch<p>_window<w>_<res>' with size in "
+        f"{sorted(_SWIN_SIZES)}); a 'tu-' prefix is accepted and stripped."
+    )
 
 
 def encoder_out_channels(encoder_name: str, in_channels: int) -> tuple[int, ...]:
+    encoder_name = _strip_tu(encoder_name)
     if encoder_name in _RESNET_SPECS:
         return ResNetEncoder(arch=encoder_name, in_channels=in_channels).out_channels
-    if encoder_name in _SWIN_SPECS:
-        ed, depths, heads, win = _SWIN_SPECS[encoder_name]
+    spec = swin_spec(encoder_name)
+    if spec is not None:
+        ed, depths, heads, win, patch = spec
         return SwinTransformerEncoder(
             in_channels=in_channels, embed_dim=ed, depths=depths,
-            num_heads=heads, window_size=win,
+            num_heads=heads, window_size=win, patch_size=patch,
         ).out_channels
-    raise ValueError(f"Unknown encoder: {encoder_name}")
+    raise _unknown_encoder_error(encoder_name)
 
 
 class TimmUniversalEncoder(nn.Module):
@@ -64,10 +95,11 @@ class TimmUniversalEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        ed, depths, heads, win = _SWIN_SPECS[self.encoder_name]
+        ed, depths, heads, win, patch = swin_spec(_strip_tu(self.encoder_name))
         return SwinTransformerEncoder(
             in_channels=self.in_channels, embed_dim=ed, depths=depths,
-            num_heads=heads, window_size=win, remat=self.remat,
+            num_heads=heads, window_size=win, patch_size=patch,
+            remat=self.remat,
             attn_f32=self.attn_f32, attn_kernel=self.attn_kernel,
             name="model",
         )(x, train=train)
@@ -77,13 +109,14 @@ def make_encoder(encoder_name: str, in_channels: int, name: str,
                  remat: bool = False, attn_f32: bool = True,
                  attn_kernel: str = "auto") -> nn.Module:
     """Encoder module rooted at ``name`` with smp-compatible internal naming."""
+    encoder_name = _strip_tu(encoder_name)
     if encoder_name in _RESNET_SPECS:
         return ResNetEncoder(arch=encoder_name, in_channels=in_channels, name=name)
-    if encoder_name in _SWIN_SPECS:
+    if swin_spec(encoder_name) is not None:
         return TimmUniversalEncoder(encoder_name, in_channels, remat=remat,
                                     attn_f32=attn_f32, attn_kernel=attn_kernel,
                                     name=name)
-    raise ValueError(f"Unknown encoder: {encoder_name}")
+    raise _unknown_encoder_error(encoder_name)
 
 
 class MonotempDecoder(nn.Module):
@@ -120,8 +153,10 @@ class MonotempSpec:
 
     @classmethod
     def from_arch(cls, arch: str) -> "MonotempSpec":
-        parts = arch.split("-")
-        return cls(parts[0], parts[1])
+        # decoder is the last dash-part; the encoder may itself contain
+        # dashes (smp's 'tu-<timm>' prefix)
+        enc, dec = arch.rsplit("-", 1)
+        return cls(enc, dec)
 
 
 class SmpModel(nn.Module):

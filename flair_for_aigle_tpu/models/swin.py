@@ -224,7 +224,8 @@ class SwinBlock(nn.Module):
         from flair_for_aigle_tpu.ops.pallas import ffn as ffnk
 
         if (not train and _use_attn_kernel(self.kernel_mode)
-                and ffnk.supports(b * h * w, c, hidden)):
+                and ffnk.supports(b * h * w, c, hidden,
+                                  jnp.dtype(x.dtype).itemsize)):
             # fused residual+LN+MLP+residual tail (param-shadow modules keep
             # the norm2/mlp tree identical to the XLA path)
             ln_s, ln_b = LayerNormParams(name="norm2")(c)

@@ -111,6 +111,11 @@ def _build_call(n: int, c: int, hidden: int, eps: float, dtype_str: str,
                 interpret: bool):
     itemsize = jnp.dtype(dtype_str).itemsize
     tb = _pick_tb(n, c, itemsize)
+    if tb == 0:
+        raise ValueError(
+            f"fused_ln_mlp_residual: no token block fits VMEM for "
+            f"n={n} c={c} itemsize={itemsize}; gate with supports() first"
+        )
     hc = _pick_hc(c, hidden, itemsize)
     n_chunks = hidden // hc
     out_dtype = jnp.dtype(dtype_str)

@@ -76,7 +76,7 @@ def build_segmentation_module(config: Dict[str, Any], in_img_sizes,
     if len(jax.devices()) > 1:
         mm = dict(config.get("models", {}).get("monotemp_model", {}))
         mm.setdefault("attn_kernel", "off")
-        config = {**config, "models": {**config["models"],
+        config = {**config, "models": {**config.get("models", {}),
                                        "monotemp_model": mm}}
     model = FlairHubModel(config=config, img_input_sizes=in_img_sizes)
     if monkeybatch is None:

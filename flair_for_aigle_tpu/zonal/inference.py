@@ -36,7 +36,6 @@ from flair_for_aigle_tpu.geo.geotiff import WindowedWriter, open_raster
 from flair_for_aigle_tpu.geo.gpkg import read_gpkg
 from flair_for_aigle_tpu.geo.polygonize import raster_to_polygons as _raster_to_polys
 from flair_for_aigle_tpu.geo.windows import Window, from_origin
-from flair_for_aigle_tpu.ops.stitch import stitch_tiles
 from flair_for_aigle_tpu.ops.resize import zoom_nearest
 from flair_for_aigle_tpu.zonal.config import (
     config_recap_1,
@@ -296,6 +295,7 @@ def device_tiling_plan(config: Dict) -> Dict | None:
     ref_res = config["reference_resolution"]
     norm_specs: Dict[str, tuple] = {}
     total_bytes = 0
+    dims = None
     for mod in active:
         if abs(config["modality_resolutions"][mod] - ref_res) > 1e-9:
             return None
@@ -303,6 +303,13 @@ def device_tiling_plan(config: Dict) -> Dict | None:
         with open_raster(mcfg["input_img_path"]) as src:
             dtype = np.dtype(src.dtypes[0])
             total_bytes += src.width * src.height * src.count * dtype.itemsize
+            # the stripe loop drives every modality's reads/dispatch off the
+            # first raster's grid; a differently-sized second raster would
+            # silently feed zero-filled regions — fall back to the host path
+            if dims is None:
+                dims = (src.width, src.height)
+            elif dims != (src.width, src.height):
+                return None
         ncfg = mcfg.get("normalization") or {}
         ntype = ncfg.get("type", "without")
         if ntype == "custom":
@@ -326,9 +333,13 @@ def device_tiling_plan(config: Dict) -> Dict | None:
     return {"mods": active, "norm_specs": norm_specs, "bytes": total_bytes}
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _place_stripe(buf, stripe, y0, x0):
-    """Land one decoded row stripe into the margin-padded HBM raster."""
+    """Land one decoded row stripe into the margin-padded HBM raster.
+
+    The buffer is donated: dynamic_update_slice aliases it in place instead
+    of copying the full margin-padded raster per stripe (the caller rebinds
+    ``bufs[mod]`` to the result)."""
     from jax import lax
 
     return lax.dynamic_update_slice(buf, stripe, (0, y0, x0))

@@ -11,7 +11,6 @@ import jax.numpy as jnp
 from flair_for_aigle_tpu.geo.geotiff import open_raster, write_geotiff
 from flair_for_aigle_tpu.geo.windows import Window, from_origin
 from flair_for_aigle_tpu.models.checkpoint import export_torch_state_dict
-from flair_for_aigle_tpu.ops.stitch import stitch_tiles
 from flair_for_aigle_tpu.zonal.inference import run_inference
 from flair_for_aigle_tpu.zonal.slicing import generate_patches_from_reference
 
@@ -110,20 +109,6 @@ def test_slicing_grid_covers_and_dedups(tmp_path):
     for t in tiles:
         assert t["right"] <= 10000.0 + 96 * RES + 1e-6
         assert t["left"] >= 10000.0 - MARGIN * RES - 1e-6
-
-
-def test_stitch_matches_numpy_oracle():
-    rng = np.random.default_rng(0)
-    canvas = np.zeros((1, 40, 50), np.uint8)
-    tiles = rng.integers(0, 255, (6, 1, 8, 8)).astype(np.uint8)
-    offs = rng.integers(0, 30, (6, 2)).astype(np.int32)
-    got = np.asarray(stitch_tiles(jnp.asarray(canvas), jnp.asarray(tiles),
-                                  jnp.asarray(offs)))
-    want = canvas.copy()
-    for i in range(6):
-        r, c = offs[i]
-        want[:, r:r + 8, c:c + 8] = tiles[i]
-    np.testing.assert_array_equal(got, want)
 
 
 @pytest.mark.parametrize("output_type", ["argmax", "class_prob"])
