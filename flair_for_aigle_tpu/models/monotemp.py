@@ -33,6 +33,10 @@ from flair_for_aigle_tpu.models.upernet import UPerNetDecoder, UPerNetSegmentati
 # against it — matching the reference's open ``tu-<timm>`` fallback surface
 # (reference monotemp_model.py:67-92) for the swin family.
 _SWIN_SIZES = {
+    # 'micro' is NOT a timm release: a test-scale tag (kernel-eligible
+    # embed_dim 128, one block per stage) so CPU interpret-mode tests can
+    # drive the fused-kernel paths at tractable cost.
+    "micro": (128, (1, 1, 1, 1), (4, 8, 16, 32)),
     "tiny": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
     "small": (96, (2, 2, 18, 2), (3, 6, 12, 24)),
     "base": (128, (2, 2, 18, 2), (4, 8, 16, 32)),

@@ -17,8 +17,10 @@ reference's fusion logic keys off those zero-channel dummies
 
 Window attention has two lowerings with identical parameters: a fused
 Pallas kernel (qkv projection + per-head attention + output projection,
-weights VMEM-resident — TPU inference default, ops/pallas/window_attn.py)
-and dense batched XLA matmuls (training / CPU / multi-device meshes).
+weights VMEM-resident — TPU default, ops/pallas/window_attn.py; training
+differentiates it through a custom VJP with XLA-recompute backward) and
+dense batched XLA matmuls (CPU, and multi-device GSPMD-jit steps — the
+zonal engine instead shard_maps its step so kernels survive DP meshes).
 Shift masks are trace-time numpy constants.
 """
 
@@ -104,8 +106,9 @@ class WindowAttention(nn.Module):
     * XLA path: window partition -> batched einsums -> reverse. Score and
       softmax dtype is float32 (torch parity) unless ``attn_f32=False``
       (opt-in speed knob like compute_dtype: scores in the compute dtype).
-    * Pallas kernel path (``kernel_mode`` 'auto'|'on'|'off'; auto = on TPU,
-      inference only): one fused VMEM pass per window with f32 softmax —
+    * Pallas kernel path (``kernel_mode`` 'auto'|'on'|'off'; auto = on TPU;
+      differentiable via custom VJP): one fused VMEM pass per window with
+      f32 softmax —
       both faster than either XLA variant and f32-exact, since the XLA
       lowering materializes every (B*nW, nh, T, T) score tensor in HBM
       (ops/pallas/window_attn.py).
@@ -138,7 +141,9 @@ class WindowAttention(nn.Module):
 
         from flair_for_aigle_tpu.ops.pallas import window_attn as wak
 
-        if (not train and wh == ww and wak.supports(c, nh, ws)
+        # the fused kernel is differentiable (custom VJP with XLA-recompute
+        # backward), so it serves training forwards too
+        if (wh == ww and wak.supports(c, nh, ws)
                 and _use_attn_kernel(self.kernel_mode)):
             from flair_for_aigle_tpu.models.layers import LinearParams
 
@@ -223,7 +228,7 @@ class SwinBlock(nn.Module):
         from flair_for_aigle_tpu.models.layers import LayerNormParams, MLPParams
         from flair_for_aigle_tpu.ops.pallas import ffn as ffnk
 
-        if (not train and _use_attn_kernel(self.kernel_mode)
+        if (_use_attn_kernel(self.kernel_mode)
                 and ffnk.supports(b * h * w, c, hidden,
                                   jnp.dtype(x.dtype).itemsize)):
             # fused residual+LN+MLP+residual tail (param-shadow modules keep

@@ -19,12 +19,16 @@ compute dtype exactly like the XLA MLP; fc2 partials accumulate in f32
 (the XLA path accumulates in f32 inside one matmul — same reduction, one
 extra rounding per chunk boundary).
 
-Inference-only (no VJP); models/swin.py gates on ``is_training``.
+Backward (round 3): custom VJP — the forward runs the kernel saving only
+the raw inputs; the backward recomputes through an XLA twin with matching
+numerics (f32 LN stats, compute-dtype GELU epilogue, f32 matmul
+accumulation) and differentiates it, so training gets the fused forward
+without a hand-written backward kernel.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -155,26 +159,64 @@ def _build_call(n: int, c: int, hidden: int, eps: float, dtype_str: str,
     return call
 
 
+def _xla_forward(x, attn, ln_scale, ln_bias, w1, b1, w2, b2, *, eps):
+    """XLA twin of the kernel (f32 LN stats, compute-dtype bias+GELU
+    epilogue, f32 matmul accumulation) — differentiated by the custom
+    VJP's backward."""
+    dt = x.dtype
+    x2 = (x + attn.astype(dt)).astype(jnp.float32)
+    mean = jnp.mean(x2, axis=-1, keepdims=True)
+    var = jnp.mean((x2 - mean) ** 2, axis=-1, keepdims=True)
+    ln = ((x2 - mean) * jax.lax.rsqrt(var + eps)
+          * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32))
+    ln = ln.astype(dt)
+    h = jnp.dot(ln, w1.astype(dt), preferred_element_type=jnp.float32)
+    h = h.astype(dt) + b1.astype(dt)
+    h = _gelu_exact(h)
+    part = jnp.dot(h, w2.astype(dt), preferred_element_type=jnp.float32)
+    return (x2 + b2.astype(dt).astype(jnp.float32) + part).astype(dt)
+
+
+@lru_cache(maxsize=None)
+def _vjp_fn(eps: float, interpret: bool):
+    @jax.custom_vjp
+    def f(x, attn, ln_scale, ln_bias, w1, b1, w2, b2):
+        shape = x.shape
+        c = shape[-1]
+        hidden = w1.shape[-1]
+        n = int(np.prod(shape[:-1]))
+        call = _build_call(n, c, hidden, eps, str(x.dtype), interpret)
+        dt = x.dtype
+        out = call(
+            x.reshape(n, c), attn.reshape(n, c).astype(dt),
+            ln_scale.reshape(1, c).astype(jnp.float32),
+            ln_bias.reshape(1, c).astype(jnp.float32),
+            w1.astype(dt), b1.reshape(1, hidden).astype(dt),
+            w2.astype(dt), b2.reshape(1, c).astype(dt),
+        )
+        return out.reshape(shape)
+
+    def f_fwd(x, attn, ln_scale, ln_bias, w1, b1, w2, b2):
+        return f(x, attn, ln_scale, ln_bias, w1, b1, w2, b2), (
+            x, attn, ln_scale, ln_bias, w1, b1, w2, b2
+        )
+
+    def f_bwd(res, g):
+        _, pullback = jax.vjp(partial(_xla_forward, eps=eps), *res)
+        return pullback(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def fused_ln_mlp_residual(x: jax.Array, attn: jax.Array, ln_scale, ln_bias,
                           w1, b1, w2, b2, *, eps: float = 1e-5,
                           interpret: bool | None = None) -> jax.Array:
-    """``x2 = x + attn; x2 + fc2(gelu(fc1(LN(x2))))`` over NHWC rasters."""
-    shape = x.shape
-    c = shape[-1]
-    hidden = w1.shape[-1]
-    n = int(np.prod(shape[:-1]))
+    """``x2 = x + attn; x2 + fc2(gelu(fc1(LN(x2))))`` over NHWC rasters.
+    Differentiable via the custom VJP (XLA-recompute backward)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    call = _build_call(n, c, hidden, eps, str(x.dtype), interpret)
-    dt = x.dtype
-    out = call(
-        x.reshape(n, c), attn.reshape(n, c).astype(dt),
-        ln_scale.reshape(1, c).astype(jnp.float32),
-        ln_bias.reshape(1, c).astype(jnp.float32),
-        w1.astype(dt), b1.reshape(1, hidden).astype(dt),
-        w2.astype(dt), b2.reshape(1, c).astype(dt),
-    )
-    return out.reshape(shape)
+    return _vjp_fn(eps, interpret)(x, attn, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
 def supports(n: int, c: int, hidden: int, itemsize: int = 2) -> bool:

@@ -34,13 +34,17 @@ multiple of 8 for every production geometry (144 for window 12) — rather
 than (ws, ws) raster tiles; window partition/reverse stay one XLA copy
 each.
 
-Backward: not implemented — inference-only; the training path keeps the
-XLA lowering (models/swin.py gates on ``is_training``).
+Backward (round 3): ``fused_window_attention`` carries a custom VJP — the
+forward runs the fused kernel and saves only the raw inputs; the backward
+recomputes through an XLA forward that replicates the kernel's numerics
+(f32 scores, compute-dtype probs) and differentiates it. Training thus
+gets the kernel's forward speed while XLA owns the gradient math; the
+flash-style recompute means no score tensor is ever stored as a residual.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -184,26 +188,56 @@ def _build_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
     return call
 
 
-def fused_window_attention(x: jax.Array, wqkv, bqkv, wproj, bproj,
-                           bias: jax.Array, *,
-                           num_heads: int, window_size: int, shift_size: int,
-                           grid_hw: tuple[int, int],
-                           out_dtype=None, interpret: bool | None = None
-                           ) -> jax.Array:
-    """Windowed MHA (qkv projection -> attention -> output projection) over
-    partitioned feature windows, weights VMEM-resident.
+@lru_cache(maxsize=None)
+def _full_shift_mask(ws: int, ss: int, nwh: int, nww: int) -> np.ndarray:
+    """(nW, T, T) additive mask assembled from the 4-pattern bank — the
+    dense per-window mask the XLA recompute path adds (identical to what
+    the kernel selects per window from its grid position)."""
+    bank = shift_mask_bank(ws, ss)
+    t = ws * ws
+    out = np.zeros((nwh * nww, t, t), np.float32)
+    for wi in range(nwh):
+        for wj in range(nww):
+            out[wi * nww + wj] = bank[(wi == nwh - 1) * 2 + (wj == nww - 1)]
+    return out
 
-    x: (B*nW, T, C) from window_partition (already cyclic-shifted when
-    shift_size > 0, windows in row-major (wi, wj) order per image).
-    wqkv/bqkv/wproj/bproj: TorchLinear params. bias: (nh, T, T) float32
-    relative-position bias (gathered from the table). grid_hw: (nwh, nww)
-    padded window grid, for mask selection. Returns (B*nW, T, C).
-    """
+
+def _xla_forward(x, wqkv, bqkv, wproj, bproj, bias, *, num_heads, shifted,
+                 window_size, shift_size, grid_hw, out_dtype):
+    """XLA twin of the kernel with matching numerics (f32 score accumulate,
+    compute-dtype probs/PV, TorchLinear epilogues) — differentiated by the
+    custom VJP's backward."""
+    bnw, t, c = x.shape
+    nh = num_heads
+    hd = c // nh
+    dt = x.dtype
+    qkv = jnp.dot(x, wqkv.astype(dt),
+                  preferred_element_type=jnp.float32).astype(dt)
+    qkv = qkv + bqkv.astype(dt)[None, None]
+    qkv = qkv.reshape(bnw, t, 3, nh, hd)
+    q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    s = jnp.einsum("bhtd,bhsd->bhts", q * (hd ** -0.5), k,
+                   preferred_element_type=jnp.float32)
+    s = s + bias.astype(jnp.float32)[None]
+    if shifted:
+        nwh, nww = grid_hw
+        mask = jnp.asarray(_full_shift_mask(window_size, shift_size, nwh, nww))
+        s = s.reshape(-1, nwh * nww, nh, t, t) + mask[None, :, None]
+        s = s.reshape(bnw, nh, t, t)
+    probs = jax.nn.softmax(s, axis=-1).astype(dt)
+    o = jnp.einsum("bhts,bhsd->bhtd", probs, v,
+                   preferred_element_type=jnp.float32).astype(dt)
+    o = jnp.transpose(o, (0, 2, 1, 3)).reshape(bnw, t, c)
+    out = jnp.dot(o, wproj.astype(dt),
+                  preferred_element_type=jnp.float32).astype(dt)
+    out = out + bproj.astype(dt)[None, None]
+    return out.astype(out_dtype)
+
+
+def _kernel_call(x, wqkv, bqkv, wproj, bproj, bias, *, num_heads,
+                 window_size, shift_size, grid_hw, out_dtype, interpret):
     bnw, t, c = x.shape
     shifted = shift_size > 0
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-    out_dtype = out_dtype or x.dtype
     mask = jnp.asarray(shift_mask_bank(window_size, shift_size if shifted else 1))
     call = _build_call(bnw, t, c, num_heads, shifted, grid_hw[0], grid_hw[1],
                        str(x.dtype), str(jnp.dtype(out_dtype)), interpret)
@@ -211,6 +245,57 @@ def fused_window_attention(x: jax.Array, wqkv, bqkv, wproj, bproj,
     return call(x, wqkv.astype(dt), bqkv.reshape(1, 3 * c).astype(dt),
                 wproj.astype(dt), bproj.reshape(1, c).astype(dt),
                 bias.astype(jnp.float32), mask)
+
+
+@lru_cache(maxsize=None)
+def _vjp_fn(num_heads, window_size, shift_size, nwh, nww, out_dtype_str,
+            interpret):
+    statics = dict(num_heads=num_heads, window_size=window_size,
+                   shift_size=shift_size, grid_hw=(nwh, nww),
+                   out_dtype=jnp.dtype(out_dtype_str))
+
+    @jax.custom_vjp
+    def f(x, wqkv, bqkv, wproj, bproj, bias):
+        return _kernel_call(x, wqkv, bqkv, wproj, bproj, bias,
+                            interpret=interpret, **statics)
+
+    def f_fwd(x, wqkv, bqkv, wproj, bproj, bias):
+        # flash-style: save only the raw inputs; scores are recomputed
+        return f(x, wqkv, bqkv, wproj, bproj, bias), (
+            x, wqkv, bqkv, wproj, bproj, bias
+        )
+
+    def f_bwd(res, g):
+        ref = partial(_xla_forward, shifted=shift_size > 0, **statics)
+        _, pullback = jax.vjp(ref, *res)
+        return pullback(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def fused_window_attention(x: jax.Array, wqkv, bqkv, wproj, bproj,
+                           bias: jax.Array, *,
+                           num_heads: int, window_size: int, shift_size: int,
+                           grid_hw: tuple[int, int],
+                           out_dtype=None, interpret: bool | None = None
+                           ) -> jax.Array:
+    """Windowed MHA (qkv projection -> attention -> output projection) over
+    partitioned feature windows, weights VMEM-resident. Differentiable: the
+    custom VJP recomputes through the XLA twin (see module docstring).
+
+    x: (B*nW, T, C) from window_partition (already cyclic-shifted when
+    shift_size > 0, windows in row-major (wi, wj) order per image).
+    wqkv/bqkv/wproj/bproj: TorchLinear params. bias: (nh, T, T) float32
+    relative-position bias (gathered from the table). grid_hw: (nwh, nww)
+    padded window grid, for mask selection. Returns (B*nW, T, C).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    out_dtype = out_dtype or x.dtype
+    f = _vjp_fn(num_heads, window_size, shift_size, grid_hw[0], grid_hw[1],
+                str(jnp.dtype(out_dtype)), interpret)
+    return f(x, wqkv, bqkv, wproj, bproj, bias)
 
 
 def supports(c: int, num_heads: int, ws: int) -> bool:

@@ -359,7 +359,8 @@ def _norm_spec_key(spec) -> tuple:
 
 def make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
                     n_classes: Dict[str, int], scale_num: int, scale_den: int,
-                    compute_dtype=jnp.float32, device_norm: Dict | None = None):
+                    compute_dtype=jnp.float32, device_norm: Dict | None = None,
+                    mesh=None):
     # memoize per process: a fresh jit closure per raster would re-trace and
     # re-load the executable onto the (possibly tunneled) device each time
     norm_key = tuple(sorted(
@@ -367,19 +368,20 @@ def make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
     ))
     cache_key = (id(model), output_type, margin_px, tile_size,
                  tuple(sorted(n_classes.items())), scale_num, scale_den,
-                 str(compute_dtype), norm_key)
+                 str(compute_dtype), norm_key, id(mesh))
     if cache_key in _STEP_CACHE:
         return _STEP_CACHE[cache_key]
     step = _make_infer_step(model, output_type, margin_px, tile_size,
                             n_classes, scale_num, scale_den, compute_dtype,
-                            device_norm)
+                            device_norm, mesh)
     _STEP_CACHE[cache_key] = step
     return step
 
 
 def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
                      n_classes: Dict[str, int], scale_num: int, scale_den: int,
-                     compute_dtype=jnp.float32, device_norm: Dict | None = None):
+                     compute_dtype=jnp.float32, device_norm: Dict | None = None,
+                     mesh=None):
     """Build the jit'd batch step: forward -> crop -> convert -> rescale.
 
     Returns tiles_u8 dict {task: (B, C_or_1, th, tw) uint8}. The nearest
@@ -432,8 +434,7 @@ def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
 
     stride4 = bool(getattr(model, "config", {}).get("zonal_stride4_logits"))
 
-    @jax.jit
-    def step(variables, batch):
+    def forward_convert(variables, batch):
         cast = {}
         for k, v in batch.items():
             v = _apply_norm(k, v)
@@ -467,6 +468,21 @@ def _make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
                 pred = jnp.take(pred, rescale_idx, axis=-1)
             out[task] = pred
         return out
+
+    if mesh is not None:
+        # GSPMD cannot partition pallas_call, but shard_map can: each dp
+        # shard runs the full fused-kernel forward on its slice of the
+        # batch, so multi-device meshes keep the single-chip kernel speed
+        # (round-2 gated the kernels off here instead).
+        from jax.sharding import PartitionSpec as P
+
+        fwd = jax.shard_map(
+            forward_convert, mesh=mesh,
+            in_specs=(P(), P("dp")), out_specs=P("dp"), check_vma=False,
+        )
+    else:
+        fwd = forward_convert
+    step = jax.jit(fwd)
 
     from functools import partial as _partial
     from jax import lax as _lax
@@ -569,12 +585,21 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
                     )
             else:
                 device_norm[mod] = ("cast",)
+    if mesh is not None:
+        n_dp = mesh.shape.get("dp", 1)
+        bsz = dataloader.batch_size
+        if bsz % n_dp:
+            raise ValueError(
+                f"batch_size {bsz} must be divisible by "
+                f"data_parallel_devices {n_dp} (shard_map over the dp axis)"
+            )
     step = make_infer_step(
         model, output_type, margin_px, tile_size, n_classes,
         scale_num, scale_den,
         compute_dtype=jnp.bfloat16 if config.get("compute_dtype") == "bfloat16"
         else jnp.float32,
         device_norm=device_norm,
+        mesh=mesh,
     )
 
     inner = tile_size - 2 * margin_px

@@ -51,18 +51,16 @@ def prepare_model_config(config: Dict[str, Any]) -> Dict[str, Any]:
     cfg = deepcopy(config)
     cfg.setdefault("models", {})
     if "monotemp_arch" in config:
-        # GSPMD cannot partition pallas_call, so fused kernels auto-disable
-        # whenever the batch is sharded over a dp mesh (single-chip zonal is
-        # the production-per-chip path; kernels re-engage there).
-        n_dp = config.get("data_parallel_devices") or 1
         cfg["models"]["monotemp_model"] = {
             "arch": config["monotemp_arch"],
             "new_channels_init_mode": "random",
             # opt-in speed knob (like compute_dtype): run swin attention
             # scores/softmax in the compute dtype instead of float32
             "attn_f32": config.get("attn_f32", True),
-            "attn_kernel": ("off" if n_dp > 1
-                            else config.get("attn_kernel", "auto")),
+            # multi-device zonal wraps the forward in shard_map over the dp
+            # axis (inference.py make_infer_step), so the fused kernels run
+            # per shard — no DP gating needed (round-2 forced them off)
+            "attn_kernel": config.get("attn_kernel", "auto"),
         }
     if "multitemp_model_ref_date" in config:
         cfg["models"]["multitemp_model"] = {
@@ -151,8 +149,6 @@ def build_inference_model(config: Dict[str, Any], patch_sizes: Dict[str, int],
     # 'auto' (default) gates on platform + arch + VMEM fit; config key
     # ``fused_epilogue``: auto|True|False.
     flag = config.get("fused_epilogue", "auto")
-    if (config.get("data_parallel_devices") or 1) > 1:
-        flag = False  # stride-4 epilogue kernel is unsharded (see above)
     if flag:
         import jax as _jax
 

@@ -50,3 +50,49 @@ def test_swinblock_kernel_tree_and_output_match():
     want = np.asarray(blk_ref.apply(v_ref, x))
     got = np.asarray(blk_ker.apply(v_ref, x))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_swinblock_kernel_grads_match_xla():
+    """Custom VJP (kernel forward, XLA-recompute backward): gradients of a
+    full SwinBlock with kernels ON must match the XLA path — training now
+    runs the fused kernels."""
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 8, 8, 128)), jnp.float32
+    )
+    blk_ref = SwinBlock(dim=128, num_heads=4, window_size=4, shift=True,
+                        kernel_mode="off", is_training=True)
+    blk_ker = SwinBlock(dim=128, num_heads=4, window_size=4, shift=True,
+                        kernel_mode="on", is_training=True)
+    v = blk_ref.init(jax.random.key(0), x)
+
+    def loss(blk, variables, inp):
+        y = blk.apply(variables, inp)
+        return (y.astype(jnp.float32) ** 2).mean()
+
+    g_ref = jax.grad(lambda v_, i: loss(blk_ref, v_, i), argnums=(0, 1))(v, x)
+    g_ker = jax.grad(lambda v_, i: loss(blk_ker, v_, i), argnums=(0, 1))(v, x)
+    ref_leaves = jax.tree.leaves(g_ref)
+    ker_leaves = jax.tree.leaves(g_ker)
+    assert len(ref_leaves) == len(ker_leaves)
+    for a, b in zip(ref_leaves, ker_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_swinblock_kernel_grads_under_remat():
+    """nn.checkpoint around a kernel-mode block (the training remat path)
+    must differentiate cleanly through the custom VJPs."""
+    from flax import linen as nn
+
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(1, 8, 8, 128)), jnp.float32
+    )
+    blk = nn.checkpoint(SwinBlock)(dim=128, num_heads=4, window_size=4,
+                                   shift=False, kernel_mode="on",
+                                   is_training=True)
+    v = blk.init(jax.random.key(0), x)
+    g = jax.grad(
+        lambda v_: (blk.apply(v_, x).astype(jnp.float32) ** 2).mean()
+    )(v)
+    assert all(np.isfinite(np.asarray(leaf)).all()
+               for leaf in jax.tree.leaves(g))

@@ -28,7 +28,7 @@ def make_raster(path, width=96, height=96, bands=3, seed=0):
 
 
 def make_zonal_config(tmp_path, img_path, n_classes=5, output_type="argmax",
-                      out_res=RES):
+                      out_res=RES, arch="resnet18-unet"):
     weights = str(tmp_path / "w.safetensors")
     # random-weight checkpoint in reference torch layout, via our exporter
     from flair_for_aigle_tpu.zonal.model_utils import (
@@ -47,7 +47,7 @@ def make_zonal_config(tmp_path, img_path, n_classes=5, output_type="argmax",
         "img_pixels_detection": PATCH,
         "margin": MARGIN,
         "output_px_meters": out_res,
-        "monotemp_arch": "resnet18-unet",
+        "monotemp_arch": arch,
         "multitemp_model_ref_date": "05-15",
         "modalities": {
             "inputs": {
@@ -374,9 +374,10 @@ def test_pack_labels5_roundtrip():
     np.testing.assert_array_equal(got, x[:, :, :37])
 
 
-def test_kernel_gating_under_dp(tmp_path):
-    """data_parallel_devices > 1 must force the unsharded pallas paths off
-    (GSPMD cannot partition pallas_call)."""
+def test_kernels_not_disabled_under_dp(tmp_path):
+    """Multi-device zonal wraps the forward in shard_map over dp, so
+    data_parallel_devices > 1 must NOT gate the fused kernels off anymore
+    (round 2 forced attn_kernel='off' under DP)."""
     from flair_for_aigle_tpu.zonal.model_utils import prepare_model_config
 
     base = {
@@ -393,11 +394,37 @@ def test_kernel_gating_under_dp(tmp_path):
                    "class_names": {i: f"c{i}" for i in range(5)}}],
     }
     mc = prepare_model_config({**base, "data_parallel_devices": 2})
-    assert mc["models"]["monotemp_model"]["attn_kernel"] == "off"
+    assert mc["models"]["monotemp_model"]["attn_kernel"] == "auto"
     mc1 = prepare_model_config({**base, "attn_kernel": "on"})
     assert mc1["models"]["monotemp_model"]["attn_kernel"] == "on"
     mc2 = prepare_model_config(base)
     assert mc2["models"]["monotemp_model"]["attn_kernel"] == "auto"
+
+
+def test_zonal_dp_kernels_on_matches_single_device(tmp_path):
+    """Fused pallas kernels (attention + FFN + stride-4 epilogue) running
+    inside shard_map over the 8-device CPU mesh (interpret mode) produce the
+    same canvas as the single-device kernel path."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96, seed=13)
+    base = make_zonal_config(tmp_path, img,
+                             arch="swin_micro_patch4_window12_384-upernet")
+    base["batch_size"] = 8
+    base["attn_kernel"] = "on"
+    base["fused_epilogue"] = True
+
+    cfg1 = dict(base)
+    single = run_inference(cfg1)
+    with open_raster(single["AERIAL_LABEL-COSIA"]) as src:
+        want = src.read(1)
+
+    cfg2 = dict(base)
+    cfg2["output_name"] = "test_zonal_dp_kern"
+    cfg2["data_parallel_devices"] = 8
+    dp = run_inference(cfg2)
+    with open_raster(dp["AERIAL_LABEL-COSIA"]) as src:
+        got = src.read(1)
+    np.testing.assert_array_equal(want, got)
 
 
 def test_pack_d2h_disabled_matches(tmp_path):
