@@ -163,15 +163,24 @@ def main():
     pack, _, _ = run_zonal(make_cfg(warm_path, out_dir))
 
     # timed: 1 km2 end-to-end (read -> tile -> infer -stitch -> write);
-    # best of 3 — the shared tunnel's transfer rate swings ~50x between
+    # best of 7 — the shared tunnel's transfer rate swings ~50x between
     # phases and dominates elapsed; more attempts = better odds of
-    # measuring the pipeline rather than the tunnel
-    runs = []
-    for _ in range(3):
+    # measuring the pipeline rather than the tunnel. Per-run phase
+    # timings (read/put/dispatch/finalize, D2H bytes) are published in
+    # ``detail`` so a tunnel-floored result is attributable.
+    from flair_for_aigle_tpu.zonal import inference as zi
+
+    runs, phases = [], []
+    for _ in range(7):
         t0 = time.time()
         _, n_tiles, temp_paths = run_zonal(make_cfg(big_path, out_dir), pack)
         runs.append(time.time() - t0)
-    elapsed = min(runs)
+        phases.append(dict(zi.LAST_TIMINGS))
+    best = int(np.argmin(runs))
+    elapsed = runs[best]
+    bp = phases[best]
+    d2h_wait = max(bp.get("finalize_wait_s", 0.0), 1e-9)
+    d2h_mbps = round(bp.get("d2h_bytes", 0) / 1e6 / d2h_wait, 1)
 
     km2 = (KM2_SIDE_PX * RES / 1000.0) ** 2
     km2_per_hour = km2 / (elapsed / 3600.0)
@@ -183,12 +192,16 @@ def main():
         "detail": {
             "elapsed_s": round(elapsed, 2),
             "all_runs_s": [round(r, 2) for r in runs],
+            "best_run_phases": bp,
+            "d2h_effective_mbps": d2h_mbps,
             "tiles": n_tiles,
             "patch": PATCH, "margin": MARGIN, "batch": BATCH,
             "arch": "swin_base_patch4_window12_384-upernet",
             "baseline_estimate_note":
                 "A100 reference grounded at 900 km2/h (BASELINE.md: measured "
-                "eager-torch efficiency x TF32 peak + serial host stitch)",
+                "eager-torch efficiency x TF32 peak + serial host stitch); "
+                "finalize_wait_s blocks on device compute + tunnel D2H, so "
+                "d2h_effective_mbps is a lower bound on the tunnel rate",
         },
     }))
 

@@ -73,23 +73,26 @@ class Database:
             conn.execute("ATTACH DATABASE ':memory:' AS detections")
             return cls(conn, "sqlite")
         if dsn.startswith(("postgresql", "postgres")):
-            last_err = None
+            kwargs = _parse_pg_dsn(dsn)
             for driver in ("psycopg2", "pg8000"):
                 try:
                     mod = __import__(driver)
-                except ImportError as e:
-                    last_err = e
+                except ImportError:
                     continue
-                kwargs = _parse_pg_dsn(dsn)
                 if driver == "pg8000":
                     conn = mod.dbapi.connect(**kwargs)
                 else:
                     conn = mod.connect(**kwargs)
                 return cls(conn, "postgresql")
-            raise DatabaseError(
-                "no Postgres driver importable (tried psycopg2, pg8000): "
-                f"{last_err}"
-            )
+            # always-available fallback: the first-party wire client
+            # (aigle/pgwire.py) — the live path no longer depends on an
+            # external driver being installed
+            from flair_for_aigle_tpu.aigle import pgwire
+
+            try:
+                return cls(pgwire.connect(**kwargs), "postgresql")
+            except (pgwire.DatabaseError, OSError) as e:
+                raise DatabaseError(f"Postgres connection failed: {e}") from e
         raise DatabaseError(f"unsupported DSN scheme: {dsn!r}")
 
     # -- statements --------------------------------------------------------

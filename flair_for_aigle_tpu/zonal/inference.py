@@ -245,9 +245,16 @@ def load_geozone_contour(config, db=None) -> list:
             raise FileNotFoundError(
                 f"Geozones cache file not found: {shp} and the PostGIS "
                 f"fallback is unavailable ({e}); provide the cached "
-                "geozones GPKG or a reachable DB_STRING_PROD"
+                "geozones GPKG/SHP or a reachable DB_STRING_PROD"
             ) from e
-    records, crs = read_gpkg(shp)
+    if shp.lower().endswith(".shp"):
+        # the reference's production cache is an ESRI shapefile loaded via
+        # geopandas (inference.py:233-238); first-party reader in geo/
+        from flair_for_aigle_tpu.geo.shapefile import read_shapefile
+
+        records, crs = read_shapefile(shp)
+    else:
+        records, crs = read_gpkg(shp)
     code = getattr(config, "geozones_codes", "all")
     out = []
     for rec in records:
@@ -537,6 +544,7 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
     to shard each batch over the ``dp`` axis — params and canvases stay
     replicated and GSPMD gathers the small uint8 tiles for the scatter.
     """
+    LAST_TIMINGS.clear()
     n_dp = config.get("data_parallel_devices")
     if mesh is None and n_dp and n_dp > 1:
         from flair_for_aigle_tpu.parallel.mesh import make_mesh
@@ -799,6 +807,12 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
                            output_files, pack_jit=_pack_jit if pack else None,
                            w8=w8 if pack else None)
+        LAST_TIMINGS.update(
+            read_s=round(t_read, 3), put_s=round(t_put, 3),
+            dispatch_s=round(t_disp, 3),
+            finalize_s=round(time.perf_counter() - t0, 3),
+            total_s=round(time.perf_counter() - t_start, 3),
+        )
         if timing:
             logger.warning(
                 "[timing] resident path: read=%.2fs put=%.2fs dispatch=%.2fs "
@@ -855,6 +869,11 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
     logger.info("[ok] canvases written")
 
 
+#: phase timings of the last inference_and_write call (seconds) — the bench
+#: publishes these so a tunnel-floored result is attributable
+LAST_TIMINGS: Dict[str, float] = {}
+
+
 def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
                        output_files, pack_jit=None, w8=None):
     """Fetch any canvas rows not yet streamed and land every stripe."""
@@ -862,6 +881,8 @@ def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
     if pack_jit is not None:
         from flair_for_aigle_tpu.ops.pack import unpack_labels5 as unpack
 
+    t_wait = t_unpack = t_write = 0.0
+    d2h_bytes = 0
     for t in tasks:
         if fetched_to < img_h[t]:
             if pack_jit is not None:
@@ -872,11 +893,23 @@ def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
             stripes[t].append((fetched_to, stripe))
         w = output_files[t]
         for y0, stripe in stripes[t]:
-            arr = np.asarray(stripe)
+            t0 = time.perf_counter()
+            arr = np.asarray(stripe)  # blocks on compute + D2H
+            t1 = time.perf_counter()
+            d2h_bytes += arr.nbytes
             if unpack is not None:
                 arr = unpack(arr, img_w[t])
+            t2 = time.perf_counter()
             w.canvas[:, y0:y0 + arr.shape[1], :] = arr
+            t_wait += t1 - t0
+            t_unpack += t2 - t1
+        t0 = time.perf_counter()
         w.close()
+        t_write += time.perf_counter() - t0
+    LAST_TIMINGS.update(
+        finalize_wait_s=round(t_wait, 3), finalize_unpack_s=round(t_unpack, 3),
+        finalize_tiff_write_s=round(t_write, 3), d2h_bytes=d2h_bytes,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -80,3 +80,93 @@ def test_two_process_predict_confmat_reduction(tmp_path):
     assert metrics_file.exists()
     metrics = json.loads(metrics_file.read_text())
     assert "Avg_metrics" in metrics
+
+
+_TRAIN_WORKER = """
+import os, sys
+idx = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {tests!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{{port}}",
+                           num_processes=2, process_id=idx)
+assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from _fixtures import make_config
+from flair_for_aigle_tpu.models.flair_model import FlairHubModel
+from flair_for_aigle_tpu.parallel.mesh import make_mesh
+from flair_for_aigle_tpu.train.optim import make_optimizer
+from flair_for_aigle_tpu.train.task import TrainState, make_steps
+
+mesh = make_mesh(devices=jax.devices())  # 2 hosts x 4 devices, dp=8
+cfg = make_config(arch="resnet18-unet", mono=("AERIAL_RGBI",),
+                  tasks=(("T", 5),))
+rng = np.random.default_rng(0)  # same stream on both hosts
+gb = 8; size = 32
+full = {{
+    "AERIAL_RGBI": rng.normal(size=(gb, 3, size, size)).astype(np.float32),
+    "T": np.eye(5, dtype=np.float32)[
+        rng.integers(0, 5, (gb, size, size))].transpose(0, 3, 1, 2),
+}}
+# each host holds a DIFFERENT half of the global batch: equal params after
+# the step prove the cross-host gradient psum actually ran
+local = {{k: v[idx * 4:(idx + 1) * 4] for k, v in full.items()}}
+dp_sh = NamedSharding(mesh, P("dp"))
+rep_sh = NamedSharding(mesh, P())
+batch = {{
+    k: jax.make_array_from_process_local_data(dp_sh, v)
+    for k, v in local.items()
+}}
+model = FlairHubModel(config=cfg)
+init_in = {{k: jnp.asarray(v[:1]) for k, v in full.items()}}
+variables = dict(jax.jit(model.init)(jax.random.key(0), init_in))
+rep = lambda tree: jax.tree.map(
+    lambda x: jax.make_array_from_process_local_data(rep_sh, np.asarray(x)),
+    tree)
+opt = make_optimizer(cfg["hyperparams"])
+state = TrainState(params=rep(variables["params"]),
+                   batch_stats=rep(variables.get("batch_stats", {{}})),
+                   opt_state=rep(opt.init(variables["params"])),
+                   step=jnp.zeros((), jnp.int32))
+train_step, _, _ = make_steps(model, cfg, opt)
+state, metrics = train_step(state, batch, jax.random.key(1))
+loss = float(metrics["loss"])
+assert np.isfinite(loss)
+leaves = jax.tree.leaves(state.params)
+sig = float(sum(np.abs(np.asarray(jax.device_get(l))).sum() for l in leaves))
+print(f"TRAIN_OK {{idx}} loss={{loss:.9f}} sig={{sig:.6f}}", flush=True)
+"""
+
+
+def test_two_process_train_step_gradient_sync(tmp_path):
+    """Reference multi-node DDP training (trainers.py:81-91): one train_step
+    over a 2-process x 4-virtual-device mesh with per-host batch halves must
+    leave both hosts with identical parameters (cross-host gradient psum)."""
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER.format(
+        repo=REPO, tests=str(Path(REPO) / "tests")))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    lines = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out}"
+        ok = [ln for ln in out.splitlines() if ln.startswith("TRAIN_OK")]
+        assert ok, out
+        lines.append(ok[0].split(" ", 2)[2])  # "loss=... sig=..."
+    assert lines[0] == lines[1], f"post-step params diverge: {lines}"
