@@ -514,3 +514,115 @@ class TUTAE(nn.Module):
             out = blk(out, skip)
             maps.append(out)
         return self.out_conv(out), maps
+
+
+# ---------------------------------------------------------------------------
+# UPerNet decoder + head reference (smp-0.4.0 structure: PSP 1/2/3/6 with
+# align_corners=True pyramid resizes, nearest FPN top-down, concat
+# bottleneck, x4 UpsamplingBilinear2d head)
+# ---------------------------------------------------------------------------
+
+
+class TConvBNReLU(nn.Sequential):
+    def __init__(self, cin, cout, k=1):
+        super().__init__(
+            nn.Conv2d(cin, cout, k, 1, k // 2, bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(inplace=True),
+        )
+
+
+class TPSPBlock(nn.Module):
+    def __init__(self, cin, cout, size):
+        super().__init__()
+        self.pool = nn.Sequential(
+            nn.AdaptiveAvgPool2d(size),
+            TConvBNReLU(cin, cout, 1),
+        )
+
+    def forward(self, x):
+        h, w = x.shape[-2:]
+        return F.interpolate(self.pool(x), size=(h, w), mode="bilinear",
+                             align_corners=True)
+
+
+class TPSPModule(nn.Module):
+    def __init__(self, cin, cout, sizes=(1, 2, 3, 6)):
+        super().__init__()
+        branch = cin // len(sizes)
+        self.blocks = nn.ModuleList(
+            [TPSPBlock(cin, branch, s) for s in sizes]
+        )
+        self.out_conv = TConvBNReLU(cin + branch * len(sizes), cout, 1)
+
+    def forward(self, x):
+        ys = [blk(x) for blk in self.blocks]
+        return self.out_conv(torch.cat(ys + [x], dim=1))
+
+
+class TFPNBlock(nn.Module):
+    def __init__(self, cskip, pyramid):
+        super().__init__()
+        self.skip_conv = TConvBNReLU(cskip, pyramid, 1)
+
+    def forward(self, x, skip):
+        skip = self.skip_conv(skip)
+        x = F.interpolate(x, size=skip.shape[-2:], mode="nearest")
+        return x + skip
+
+
+class TUPerNetDecoder(nn.Module):
+    def __init__(self, encoder_channels, pyramid=256, seg_channels=64):
+        super().__init__()
+        chans = list(encoder_channels[2:])  # drop input + dummy
+        self.psp = TPSPModule(chans[-1], pyramid)
+        self.fpn_stages = nn.ModuleList(
+            [TFPNBlock(c, pyramid) for c in chans[:-1]]
+        )
+        self.fpn_bottleneck = TConvBNReLU(
+            pyramid * len(chans), seg_channels, 3
+        )
+
+    def forward(self, *features):
+        feats = list(features[2:])
+        fpn = [self.psp(feats[-1])]
+        for i in range(len(feats) - 2, -1, -1):
+            fpn.append(self.fpn_stages[i](fpn[-1], feats[i]))
+        th, tw = feats[0].shape[-2:]
+        resized = [
+            F.interpolate(f, size=(th, tw), mode="bilinear",
+                          align_corners=False) if f.shape[-2:] != (th, tw)
+            else f
+            for f in fpn
+        ]
+        return self.fpn_bottleneck(torch.cat(resized, dim=1))
+
+
+class TUPerNetHead(nn.Sequential):
+    def __init__(self, cin, classes, upsampling=4):
+        super().__init__(
+            nn.Conv2d(cin, classes, 3, 1, 1),
+            nn.UpsamplingBilinear2d(scale_factor=upsampling),
+        )
+
+
+class TSwinUPerNet(nn.Module):
+    """smp-style container: encoder.model.<timm>, decoder.<upernet>,
+    segmentation_head.<head> — key-compatible with SmpModel's flax tree."""
+
+    def __init__(self, in_channels=3, classes=19, embed_dim=128,
+                 depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), ws=12):
+        super().__init__()
+        self.encoder = nn.Module()
+        self.encoder.model = TSwinEncoder(
+            in_channels=in_channels, embed_dim=embed_dim, depths=depths,
+            num_heads=num_heads, ws=ws,
+        )
+        out_ch = (in_channels, 0,
+                  *(embed_dim * 2 ** i for i in range(len(depths))))
+        self.decoder = TUPerNetDecoder(out_ch)
+        self.segmentation_head = TUPerNetHead(64, classes)
+
+    def forward(self, x):
+        feats = self.encoder.model(x)
+        return self.segmentation_head(self.decoder(*feats))
