@@ -70,5 +70,9 @@ def load() -> ctypes.CDLL:
         lib.plg_histogram.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)
         ]
+        lib.fl_unpack5_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+        ]
         _lib = lib
         return _lib

@@ -879,7 +879,7 @@ def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
     """Fetch any canvas rows not yet streamed and land every stripe."""
     unpack = None
     if pack_jit is not None:
-        from flair_for_aigle_tpu.ops.pack import unpack_labels5 as unpack
+        from flair_for_aigle_tpu.ops.pack import unpack_labels5_into as unpack
 
     t_wait = t_unpack = t_write = 0.0
     d2h_bytes = 0
@@ -897,10 +897,14 @@ def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
             arr = np.asarray(stripe)  # blocks on compute + D2H
             t1 = time.perf_counter()
             d2h_bytes += arr.nbytes
+            rows = arr.shape[1]
             if unpack is not None:
-                arr = unpack(arr, img_w[t])
+                # native in-place unpack straight into the canvas slice —
+                # overlaps the remaining stripes' in-flight D2H
+                unpack(arr, w.canvas[:, y0:y0 + rows, :])
+            else:
+                w.canvas[:, y0:y0 + rows, :] = arr
             t2 = time.perf_counter()
-            w.canvas[:, y0:y0 + arr.shape[1], :] = arr
             t_wait += t1 - t0
             t_unpack += t2 - t1
         t0 = time.perf_counter()

@@ -373,6 +373,16 @@ def test_pack_labels5_roundtrip():
     got = unpack_labels5(packed, 37)
     np.testing.assert_array_equal(got, x[:, :, :37])
 
+    # native in-place unpack into a strided canvas slice (the zonal
+    # finalize path) must agree with the numpy twin
+    from flair_for_aigle_tpu.ops.pack import unpack_labels5_into
+
+    canvas = np.zeros((2, 20, 64), np.uint8)
+    unpack_labels5_into(packed, canvas[:, 4:17, 9:46])
+    np.testing.assert_array_equal(canvas[:, 4:17, 9:46], x[:, :, :37])
+    assert not canvas[:, :4].any() and not canvas[:, 17:].any()
+    assert not canvas[:, :, :9].any() and not canvas[:, :, 46:].any()
+
 
 def test_kernels_not_disabled_under_dp(tmp_path):
     """Multi-device zonal wraps the forward in shard_map over dp, so
