@@ -649,18 +649,18 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
     stripes: Dict[str, list] = {t: [] for t in tasks}
     consumed = 0
     stripe_min_rows = 256
-    # 5-bit packing of argmax stripes: 1.6x fewer D2H bytes (the tunnel's
-    # D2H rate is the elapsed-time tail). class_prob canvases are dense
-    # probability bytes and ship unpacked. config 'pack_d2h' to disable.
+    # Stripe D2H codec: device-side RLE (class maps are piecewise-constant;
+    # 4-1000x fewer bytes) with 5-bit packing as the incompressible
+    # fallback, both computed on device so only the winner crosses the
+    # tunnel at full size. class_prob canvases are dense probability bytes
+    # and ship raw. config 'pack_d2h' false -> raw; 'd2h_codec' picks
+    # 'auto' (RLE+pack5, default) or 'pack5'.
     pack = (config.get("pack_d2h", True) and output_type == "argmax"
             and all(output_files[t].count == 1 for t in tasks)
             and all(len(tk["class_names"]) <= 32
                     for tk in config["tasks"] if tk.get("active")))
-    if pack:
-        from flair_for_aigle_tpu.ops.pack import pack_labels5, packed_width
-
-        _pack_jit = jax.jit(pack_labels5)
-        w8 = {t: -(-img_w[t] // 8) * 8 for t in tasks}
+    use_rle = pack and config.get("d2h_codec", "auto") == "auto"
+    codec = _StripeCodec(pack, use_rle, img_w)
 
     def fetch_final_stripes(frontier: int) -> None:
         nonlocal fetched_to
@@ -668,14 +668,8 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         if frontier - fetched_to < stripe_min_rows:
             return
         for t in tasks:
-            if pack:
-                stripe = _pack_jit(
-                    canvases[t][:, fetched_to:frontier, : w8[t]]
-                )
-            else:
-                stripe = canvases[t][:, fetched_to:frontier, : img_w[t]]
-            stripe.copy_to_host_async()
-            stripes[t].append((fetched_to, stripe))
+            stripes[t].append(codec.encode(canvases[t], t, fetched_to,
+                                           frontier))
         fetched_to = frontier
 
     def _out_offsets(indices, valid):
@@ -804,9 +798,8 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         dispatch_ready(height)
         t_disp += time.perf_counter() - t0
         t0 = time.perf_counter()
-        _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
-                           output_files, pack_jit=_pack_jit if pack else None,
-                           w8=w8 if pack else None)
+        _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h,
+                           output_files, codec)
         LAST_TIMINGS.update(
             read_s=round(t_read, 3), put_s=round(t_put, 3),
             dispatch_s=round(t_disp, 3),
@@ -863,9 +856,8 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         consumed += int(valid)
         fetch_final_stripes(future_min_top[min(consumed, n_total)])
 
-    _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
-                       output_files, pack_jit=_pack_jit if pack else None,
-                       w8=w8 if pack else None)
+    _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h,
+                       output_files, codec)
     logger.info("[ok] canvases written")
 
 
@@ -874,39 +866,130 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
 LAST_TIMINGS: Dict[str, float] = {}
 
 
-def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h, img_w,
-                       output_files, pack_jit=None, w8=None):
-    """Fetch any canvas rows not yet streamed and land every stripe."""
-    unpack = None
-    if pack_jit is not None:
-        from flair_for_aigle_tpu.ops.pack import unpack_labels5_into as unpack
+class _StripeCodec:
+    """Tiered stripe D2H encoder/decoder for the on-device canvases.
 
+    Tiers per stripe (all encodings computed on device; only the chosen
+    one crosses the link at full size):
+
+    * ``rle-small`` — fixed-capacity RLE at 1 run / 256 px (~32x fewer
+      bytes than 5-bit packing); the buffer and run count ship async the
+      moment the stripe's rows are final, fully overlapped with compute.
+    * ``rle-mid`` — 1 run / 32 px capacity (~4x cut), fetched on demand
+      at finalize when the true run count overflows the small tier.
+    * ``pack5`` — 5-bit packed (1.6x cut), the incompressible fallback.
+    * ``raw`` — dense bytes (``pack_d2h: false`` or class_prob canvases).
+
+    RLE is lossless (run-split of the flattened row-major map); outputs
+    are bit-identical across tiers — see test_zonal pack/rle parity.
+    """
+
+    def __init__(self, pack: bool, use_rle: bool, img_w: Dict[str, int]):
+        self.pack = pack
+        self.use_rle = use_rle
+        self.img_w = img_w
+        if pack:
+            from flair_for_aigle_tpu.ops.pack import pack_labels5
+
+            self._pack_jit = jax.jit(pack_labels5)
+            self.w8 = {t: -(-w // 8) * 8 for t, w in img_w.items()}
+        if use_rle:
+            from flair_for_aigle_tpu.ops.rle import rle_encode5
+
+            self._rle_jit = jax.jit(rle_encode5, static_argnums=1)
+
+    def encode(self, canvas, t: str, a: int, b: int) -> dict:
+        """Encode canvas rows [a, b) and start their async D2H."""
+        rec = {"y0": a, "h": b - a}
+        if not self.pack:
+            raw = canvas[:, a:b, : self.img_w[t]]
+            raw.copy_to_host_async()
+            rec["raw"] = raw
+            return rec
+        packed = self._pack_jit(canvas[:, a:b, : self.w8[t]])
+        rec["packed"] = packed
+        if self.use_rle:
+            sl = canvas[:, a:b, : self.img_w[t]]
+            npx = sl.size
+            small = max(64, npx // 256)
+            mid = max(small * 2, npx // 32)
+            if mid * 5 < packed.nbytes:
+                runs_mid, n_runs = self._rle_jit(sl, mid)
+                runs_small = runs_mid[:small]
+                runs_small.copy_to_host_async()
+                n_runs.copy_to_host_async()
+                rec.update(small=runs_small, mid=runs_mid, n_runs=n_runs)
+                return rec
+        packed.copy_to_host_async()
+        return rec
+
+    def plan(self, rec: dict) -> None:
+        """Phase A: pick the tier (one tiny sync on the prefetched run
+        count) and start any on-demand fetch, so all stripes' transfers
+        are in flight before phase B blocks on the first one."""
+        if "n_runs" not in rec:
+            return
+        nr = int(np.asarray(rec["n_runs"]))
+        rec["nr"] = nr
+        if nr <= rec["small"].shape[0]:
+            rec["tier"] = "small"
+        elif nr <= rec["mid"].shape[0]:
+            rec["tier"] = "mid"
+            rec["mid"].copy_to_host_async()
+        else:
+            rec["tier"] = "packed"
+            rec["packed"].copy_to_host_async()
+
+    def decode_into(self, rec: dict, dst) -> tuple[int, float]:
+        """Phase B: land the stripe into the canvas view; returns
+        (bytes fetched, seconds blocked on D2H)."""
+        tier = rec.get("tier")
+        if tier in ("small", "mid"):
+            from flair_for_aigle_tpu.ops.rle import rle_decode_into
+
+            t0 = time.perf_counter()
+            runs = np.asarray(rec[tier])
+            dt = time.perf_counter() - t0
+            rle_decode_into(runs, rec["nr"], dst)
+            return runs.nbytes + 4, dt
+        if "packed" in rec:
+            from flair_for_aigle_tpu.ops.pack import unpack_labels5_into
+
+            t0 = time.perf_counter()
+            arr = np.asarray(rec["packed"])
+            dt = time.perf_counter() - t0
+            # native in-place unpack straight into the canvas slice —
+            # overlaps the remaining stripes' in-flight D2H
+            unpack_labels5_into(arr, dst)
+            extra = rec["small"].nbytes + 4 if "small" in rec else 0
+            return arr.nbytes + extra, dt
+        t0 = time.perf_counter()
+        arr = np.asarray(rec["raw"])
+        dt = time.perf_counter() - t0
+        dst[...] = arr
+        return arr.nbytes, dt
+
+
+def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h,
+                       output_files, codec):
+    """Fetch any canvas rows not yet streamed and land every stripe."""
     t_wait = t_unpack = t_write = 0.0
     d2h_bytes = 0
     for t in tasks:
         if fetched_to < img_h[t]:
-            if pack_jit is not None:
-                stripe = pack_jit(canvases[t][:, fetched_to:img_h[t], : w8[t]])
-            else:
-                stripe = canvases[t][:, fetched_to:img_h[t], : img_w[t]]
-            stripe.copy_to_host_async()
-            stripes[t].append((fetched_to, stripe))
+            stripes[t].append(
+                codec.encode(canvases[t], t, fetched_to, img_h[t])
+            )
+        for rec in stripes[t]:
+            codec.plan(rec)
         w = output_files[t]
-        for y0, stripe in stripes[t]:
+        for rec in stripes[t]:
+            y0, rows = rec["y0"], rec["h"]
             t0 = time.perf_counter()
-            arr = np.asarray(stripe)  # blocks on compute + D2H
-            t1 = time.perf_counter()
-            d2h_bytes += arr.nbytes
-            rows = arr.shape[1]
-            if unpack is not None:
-                # native in-place unpack straight into the canvas slice —
-                # overlaps the remaining stripes' in-flight D2H
-                unpack(arr, w.canvas[:, y0:y0 + rows, :])
-            else:
-                w.canvas[:, y0:y0 + rows, :] = arr
-            t2 = time.perf_counter()
-            t_wait += t1 - t0
-            t_unpack += t2 - t1
+            nbytes, dt = codec.decode_into(rec, w.canvas[:, y0:y0 + rows, :])
+            d2h_bytes += nbytes
+            t_wait += dt
+            t_unpack += time.perf_counter() - t0 - dt
         t0 = time.perf_counter()
         w.close()
         t_write += time.perf_counter() - t0

@@ -384,6 +384,62 @@ def test_pack_labels5_roundtrip():
     assert not canvas[:, :, :9].any() and not canvas[:, :, 46:].any()
 
 
+def test_rle_roundtrip():
+    import jax
+    import jax.numpy as jnp
+    from flair_for_aigle_tpu.ops.rle import rle_encode5, rle_decode_into
+
+    rng = np.random.default_rng(1)
+    # piecewise-constant map with noise patches: realistic run structure
+    x = np.repeat(rng.integers(0, 19, (1, 9, 14), dtype=np.int64), 5, axis=2)
+    x = np.repeat(x, 3, axis=1).astype(np.uint8)  # (1, 27, 70)
+    enc = jax.jit(rle_encode5, static_argnums=1)
+    runs, n_runs = enc(jnp.asarray(x), 1024)
+    nr = int(n_runs)
+    assert 0 < nr < 1024
+    # zero-length padding past n_runs
+    lens = np.asarray(runs)[:, :4].astype(np.uint32)
+    lens = lens[:, 0] | (lens[:, 1] << 8) | (lens[:, 2] << 16) | (lens[:, 3] << 24)
+    assert (lens[nr:] == 0).all() and lens[:nr].sum() == x.size
+    dst = np.empty_like(x)
+    rle_decode_into(np.asarray(runs), nr, dst)
+    np.testing.assert_array_equal(dst, x)
+
+    # overflow detection: capacity below the true run count
+    runs2, n2 = enc(jnp.asarray(x), 8)
+    assert int(n2) == nr and runs2.shape == (8, 5)
+
+    # worst case: every pixel its own run
+    y = (np.arange(64, dtype=np.uint8) % 19).reshape(1, 4, 16)
+    runs3, n3 = enc(jnp.asarray(y), 64)
+    assert int(n3) == 64
+    dst3 = np.empty_like(y)
+    rle_decode_into(np.asarray(runs3), 64, dst3)
+    np.testing.assert_array_equal(dst3, y)
+
+
+def test_run_inference_d2h_codecs_identical(tmp_path):
+    """auto (RLE tiers), pack5, and raw D2H must land bit-identical
+    rasters through the full run_inference path."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 160, 130)
+    cfg = make_zonal_config(tmp_path, img)
+    outs = {}
+    for name, extra in {
+        "auto": {},
+        "pack5": {"d2h_codec": "pack5"},
+        "raw": {"pack_d2h": False},
+    }.items():
+        c = {**cfg, **extra,
+             "output_path": str(tmp_path / f"out_{name}")}
+        os.makedirs(c["output_path"], exist_ok=True)
+        paths = run_inference(c)
+        with open_raster(paths["AERIAL_LABEL-COSIA"]) as src:
+            outs[name] = src.read()
+    np.testing.assert_array_equal(outs["auto"], outs["pack5"])
+    np.testing.assert_array_equal(outs["auto"], outs["raw"])
+
+
 def test_kernels_not_disabled_under_dp(tmp_path):
     """Multi-device zonal wraps the forward in shard_map over dp, so
     data_parallel_devices > 1 must NOT gate the fused kernels off anymore
