@@ -923,22 +923,28 @@ class _StripeCodec:
         packed.copy_to_host_async()
         return rec
 
-    def plan(self, rec: dict) -> None:
-        """Phase A: pick the tier (one tiny sync on the prefetched run
-        count) and start any on-demand fetch, so all stripes' transfers
-        are in flight before phase B blocks on the first one."""
-        if "n_runs" not in rec:
+    def plan_all(self, recs: list) -> None:
+        """Phase A: pick every stripe's tier with ONE host round-trip
+        (the per-stripe run counts are stacked on device and fetched as a
+        single array — per-stripe ``np.asarray`` syncs each pay a full
+        tunnel RTT and serialized to seconds), then start every on-demand
+        fetch so all transfers are in flight before phase B blocks on the
+        first one."""
+        pend = [r for r in recs if "n_runs" in r]
+        if not pend:
             return
-        nr = int(np.asarray(rec["n_runs"]))
-        rec["nr"] = nr
-        if nr <= rec["small"].shape[0]:
-            rec["tier"] = "small"
-        elif nr <= rec["mid"].shape[0]:
-            rec["tier"] = "mid"
-            rec["mid"].copy_to_host_async()
-        else:
-            rec["tier"] = "packed"
-            rec["packed"].copy_to_host_async()
+        counts = np.asarray(jnp.stack([r["n_runs"] for r in pend]))
+        for rec, nr in zip(pend, counts):
+            nr = int(nr)
+            rec["nr"] = nr
+            if nr <= rec["small"].shape[0]:
+                rec["tier"] = "small"
+            elif nr <= rec["mid"].shape[0]:
+                rec["tier"] = "mid"
+                rec["mid"].copy_to_host_async()
+            else:
+                rec["tier"] = "packed"
+                rec["packed"].copy_to_host_async()
 
     def decode_into(self, rec: dict, dst) -> tuple[int, float]:
         """Phase B: land the stripe into the canvas view; returns
@@ -980,8 +986,10 @@ def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h,
             stripes[t].append(
                 codec.encode(canvases[t], t, fetched_to, img_h[t])
             )
-        for rec in stripes[t]:
-            codec.plan(rec)
+    t0 = time.perf_counter()
+    codec.plan_all([rec for t in tasks for rec in stripes[t]])
+    t_plan = time.perf_counter() - t0
+    for t in tasks:
         w = output_files[t]
         for rec in stripes[t]:
             y0, rows = rec["y0"], rec["h"]
@@ -994,6 +1002,7 @@ def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h,
         w.close()
         t_write += time.perf_counter() - t0
     LAST_TIMINGS.update(
+        finalize_plan_s=round(t_plan, 3),
         finalize_wait_s=round(t_wait, 3), finalize_unpack_s=round(t_unpack, 3),
         finalize_tiff_write_s=round(t_write, 3), d2h_bytes=d2h_bytes,
     )
