@@ -793,9 +793,11 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
                 t_put += t2 - t1
             t0 = time.perf_counter()
             dispatch_ready(y0 + h)
+            codec.poll()
             t_disp += time.perf_counter() - t0
         t0 = time.perf_counter()
         dispatch_ready(height)
+        codec.poll()
         t_disp += time.perf_counter() - t0
         t0 = time.perf_counter()
         _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h,
@@ -882,12 +884,24 @@ class _StripeCodec:
 
     RLE is lossless (run-split of the flattened row-major map); outputs
     are bit-identical across tiers — see test_zonal pack/rle parity.
+
+    Adaptive scheduling: tier decisions resolve opportunistically during
+    the stream (``poll`` checks the prefetched run counts' ``is_ready``
+    without blocking) so the chosen transfer overlaps compute; stragglers
+    are resolved at finalize with ONE batched fetch (``plan_all`` — a
+    per-stripe sync pays a full tunnel RTT). After two consecutive
+    incompressible stripes RLE attempts stop entirely and stripes take
+    the classic pack5+async path, keeping noise-like maps (e.g. argmax of
+    random weights) fully overlapped instead of deferring every packed
+    transfer to finalize.
     """
 
     def __init__(self, pack: bool, use_rle: bool, img_w: Dict[str, int]):
         self.pack = pack
         self.use_rle = use_rle
         self.img_w = img_w
+        self._pending: list = []  # encoded, tier not yet resolved
+        self._overflow_streak = 0
         if pack:
             from flair_for_aigle_tpu.ops.pack import pack_labels5
 
@@ -908,7 +922,7 @@ class _StripeCodec:
             return rec
         packed = self._pack_jit(canvas[:, a:b, : self.w8[t]])
         rec["packed"] = packed
-        if self.use_rle:
+        if self.use_rle and self._overflow_streak < 2:
             sl = canvas[:, a:b, : self.img_w[t]]
             npx = sl.size
             small = max(64, npx // 256)
@@ -919,9 +933,45 @@ class _StripeCodec:
                 runs_small.copy_to_host_async()
                 n_runs.copy_to_host_async()
                 rec.update(small=runs_small, mid=runs_mid, n_runs=n_runs)
+                self._pending.append(rec)
+                self.poll()
                 return rec
         packed.copy_to_host_async()
         return rec
+
+    def _decide(self, rec: dict, nr: int) -> None:
+        """Tier decision from the fetched run count; launches the chosen
+        tier's D2H. Incompressible stripes bump the overflow streak — two
+        in a row and encode() stops attempting RLE (noise-like maps:
+        straight to 5-bit packing with its transfer fully overlapped)."""
+        rec["nr"] = nr
+        if nr <= rec["small"].shape[0]:
+            rec["tier"] = "small"
+            self._overflow_streak = 0
+        elif nr <= rec["mid"].shape[0]:
+            rec["tier"] = "mid"
+            rec["mid"].copy_to_host_async()
+            self._overflow_streak = 0
+        else:
+            rec["tier"] = "packed"
+            rec["packed"].copy_to_host_async()
+            self._overflow_streak += 1
+
+    def poll(self) -> None:
+        """Opportunistic tier resolution during the stream: resolve any
+        stripe whose prefetched run count has landed (no blocking), so its
+        chosen transfer starts while compute continues."""
+        still = []
+        for rec in self._pending:
+            try:
+                ready = rec["n_runs"].is_ready()
+            except AttributeError:  # older jax / non-array
+                ready = False
+            if ready:
+                self._decide(rec, int(np.asarray(rec["n_runs"])))
+            else:
+                still.append(rec)
+        self._pending = still
 
     def plan_all(self, recs: list) -> None:
         """Phase A: pick every stripe's tier with ONE host round-trip
@@ -930,21 +980,13 @@ class _StripeCodec:
         tunnel RTT and serialized to seconds), then start every on-demand
         fetch so all transfers are in flight before phase B blocks on the
         first one."""
-        pend = [r for r in recs if "n_runs" in r]
+        pend = [r for r in recs if "n_runs" in r and "tier" not in r]
         if not pend:
             return
         counts = np.asarray(jnp.stack([r["n_runs"] for r in pend]))
         for rec, nr in zip(pend, counts):
-            nr = int(nr)
-            rec["nr"] = nr
-            if nr <= rec["small"].shape[0]:
-                rec["tier"] = "small"
-            elif nr <= rec["mid"].shape[0]:
-                rec["tier"] = "mid"
-                rec["mid"].copy_to_host_async()
-            else:
-                rec["tier"] = "packed"
-                rec["packed"].copy_to_host_async()
+            self._decide(rec, int(nr))
+        self._pending = [r for r in self._pending if "tier" not in r]
 
     def decode_into(self, rec: dict, dst) -> tuple[int, float]:
         """Phase B: land the stripe into the canvas view; returns
