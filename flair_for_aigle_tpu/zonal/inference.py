@@ -634,21 +634,42 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
 
     # Striped async D2H: the shared-tunnel D2H runs at ~10-20 MB/s, so a
     # monolithic canvas fetch after the last batch costs seconds of dead
-    # tail. Tiles arrive in grid order, so once every remaining tile starts
-    # at or below row y, rows [0, y) are final (last-write-wins preserved)
-    # and can stream to the host while the device keeps computing.
+    # tail. Once every remaining tile's output window lies strictly inside
+    # [hi, lo), rows [0, hi) and [lo, H) are final (last-write-wins
+    # preserved) and can stream to the host while the device computes.
+    # The frontier is two-ended because the two paths process tiles in
+    # different orders: the host path keeps the reference's column-major
+    # generation order (only the top frontier ever moves, late), while the
+    # resident path re-orders bottom-up row-major (see below) so the bottom
+    # frontier sweeps the whole canvas during the run.
     n_total = len(tiles)
     tile_tops = np.empty(n_total, np.int64)
+    tile_lefts = np.empty(n_total, np.int64)
     for i, row in enumerate(tiles):
         tile_tops[i] = int(round((image_bounds["top"] - row["top"]) / out_res))
-    future_min_top = np.empty(n_total + 1, np.int64)
-    future_min_top[n_total] = img_h[tasks[0]]
-    for i in range(n_total - 1, -1, -1):
-        future_min_top[i] = min(tile_tops[i], future_min_top[i + 1])
-    fetched_to = 0
+        tile_lefts[i] = int(round((row["left"] - image_bounds["left"])
+                                  / out_res))
+    tile_bots = np.minimum(tile_tops + th, img_h[tasks[0]])
+
+    def _future_frontiers(order: np.ndarray):
+        """future_min_top[c], future_max_bottom[c]: bounds of the output
+        rows any tile at processing position >= c can still write."""
+        n = len(order)
+        fmt = np.empty(n + 1, np.int64)
+        fmb = np.empty(n + 1, np.int64)
+        fmt[n] = img_h[tasks[0]]
+        fmb[n] = 0
+        for i in range(n - 1, -1, -1):
+            fmt[i] = min(tile_tops[order[i]], fmt[i + 1])
+            fmb[i] = max(tile_bots[order[i]], fmb[i + 1])
+        return fmt, fmb
+
+    fetched_top = 0                 # rows [0, fetched_top) encoded
+    fetched_bot = img_h[tasks[0]]   # rows [fetched_bot, H) encoded
+    fmt_host, fmb_host = _future_frontiers(np.arange(n_total))
     stripes: Dict[str, list] = {t: [] for t in tasks}
     consumed = 0
-    stripe_min_rows = 256
+    stripe_min_rows = 512  # streamed-stripe quantum (one jit shape)
     # Stripe D2H codec: device-side RLE (class maps are piecewise-constant;
     # 4-1000x fewer bytes) with 5-bit packing as the incompressible
     # fallback, both computed on device so only the winner crosses the
@@ -662,15 +683,30 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
     use_rle = pack and config.get("d2h_codec", "auto") == "auto"
     codec = _StripeCodec(pack, use_rle, img_w)
 
-    def fetch_final_stripes(frontier: int) -> None:
-        nonlocal fetched_to
-        frontier = min(int(frontier), img_h[tasks[0]])
-        if frontier - fetched_to < stripe_min_rows:
-            return
-        for t in tasks:
-            stripes[t].append(codec.encode(canvases[t], t, fetched_to,
-                                           frontier))
-        fetched_to = frontier
+    def fetch_final_stripes(hi: int, lo: int) -> None:
+        """Encode any newly-final rows: [0, hi) from the top frontier and
+        [lo, H) from the bottom one (clamped so the ends never cross).
+
+        Encodes advance in fixed ``stripe_min_rows`` quanta: stripe heights
+        are jit shapes for the pack/RLE executables, and frontier advances
+        depend on poll timing — unquantized heights meant a nondeterministic
+        zoo of one-off compiles. With the quantum, every streamed stripe
+        shares ONE executable; the sub-quantum remainder lands at finalize."""
+        nonlocal fetched_top, fetched_bot
+        q = stripe_min_rows
+        hi = min(int(hi), fetched_bot) // q * q
+        while hi - fetched_top >= q:
+            for t in tasks:
+                stripes[t].append(codec.encode(canvases[t], t, fetched_top,
+                                               fetched_top + q))
+            fetched_top += q
+        lo = max(int(lo), fetched_top)
+        lo = fetched_bot - (fetched_bot - lo) // q * q
+        while fetched_bot - lo >= q:
+            for t in tasks:
+                stripes[t].append(codec.encode(canvases[t], t,
+                                               fetched_bot - q, fetched_bot))
+            fetched_bot -= q
 
     def _out_offsets(indices, valid):
         offs = np.zeros((len(indices), 2), np.int32)
@@ -715,11 +751,26 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
             for t in config["labels"]
         }
 
+        # Processing order: bottom-up row-major (grid rows bottom -> top,
+        # left -> right within a row). The tile LIST keeps the reference's
+        # column-major generation order (ids, GPKG dumps, host path), but
+        # processing column-major defeats the pipeline twice over: batch 1
+        # would gather the full raster height (no read/compute overlap) and
+        # no output row is final until the last column (no streamed D2H).
+        # Bottom-up row-major preserves every overlap seam's winner: tiles
+        # only overlap where the grid snaps (right column / top row), and
+        # for any overlapping pair the reference-later tile (larger x, then
+        # larger y) is still processed later here.
+        order = np.lexsort((tile_lefts, -tile_tops))
+        fmt_res, fmb_res = _future_frontiers(order)
         batch_starts = list(range(0, n_total, bsz))
-        # padded rows a batch's gathers read up to (same grid for all mods)
-        need_rows = [
-            int(max(in_offs_all[m][s:min(s + bsz, n_total), 0].max()
-                    for m in plan["mods"])) + tile_size
+        # lowest raster row a batch's gathers touch (bottom-up reads make
+        # rows [read_lo, height) resident; margins above the raster are the
+        # buffer's zero init, so clamp at 0)
+        need_lo = [
+            max(0, int(min(in_offs_all[m][order[s:min(s + bsz, n_total)],
+                                          0].min()
+                           for m in plan["mods"])) - margin_px)
             for s in batch_starts
         ]
 
@@ -747,13 +798,13 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
 
         bi = 0
 
-        def dispatch_ready(placed: int):
+        def dispatch_ready(read_lo: int):
             nonlocal bi, canvases, consumed
             while bi < len(batch_starts) and (
-                need_rows[bi] <= placed + margin_px or placed >= height
+                read_lo <= need_lo[bi] or read_lo <= 0
             ):
                 start = batch_starts[bi]
-                idxs = np.arange(start, min(start + bsz, n_total))
+                idxs = order[start:min(start + bsz, n_total)]
                 valid = len(idxs)
                 if valid < bsz:
                     idxs = np.concatenate(
@@ -766,15 +817,20 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
                     variables, bufs, extras, in_offs, out_offs, canvases
                 )
                 consumed += valid
-                fetch_final_stripes(future_min_top[min(consumed, n_total)])
+                c = min(consumed, n_total)
+                fetch_final_stripes(fmt_res[c], fmb_res[c])
                 bi += 1
 
         timing = os.getenv("FLAIR_ZONAL_TIMING")
         t_read = t_put = t_disp = 0.0
         t_start = time.perf_counter()
         x0 = jnp.int32(margin_px)
-        for y0 in range(0, height, stripe_rows):
-            h = min(stripe_rows, height - y0)
+        # read stripes bottom-up to match the processing order: the first
+        # grid row of tiles is ready after one stripe, so compute overlaps
+        # the remaining decode instead of waiting for the full raster
+        spans = [(y0, min(stripe_rows, height - y0))
+                 for y0 in range(0, height, stripe_rows)]
+        for y0, h in reversed(spans):
             for mod in plan["mods"]:
                 t0 = time.perf_counter()
                 arr = readers[mod].read(
@@ -792,16 +848,16 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
                 t_read += t1 - t0
                 t_put += t2 - t1
             t0 = time.perf_counter()
-            dispatch_ready(y0 + h)
+            dispatch_ready(y0)
             codec.poll()
             t_disp += time.perf_counter() - t0
         t0 = time.perf_counter()
-        dispatch_ready(height)
+        dispatch_ready(0)
         codec.poll()
         t_disp += time.perf_counter() - t0
         t0 = time.perf_counter()
-        _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h,
-                           output_files, codec)
+        _finalize_canvases(tasks, canvases, stripes, fetched_top, fetched_bot,
+                           img_h, output_files, codec)
         LAST_TIMINGS.update(
             read_s=round(t_read, 3), put_s=round(t_put, 3),
             dispatch_s=round(t_disp, 3),
@@ -856,10 +912,11 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         canvases = step.step_and_stitch(variables, jb, jnp.asarray(offs),
                                         canvases)
         consumed += int(valid)
-        fetch_final_stripes(future_min_top[min(consumed, n_total)])
+        c = min(consumed, n_total)
+        fetch_final_stripes(fmt_host[c], fmb_host[c])
 
-    _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h,
-                       output_files, codec)
+    _finalize_canvases(tasks, canvases, stripes, fetched_top, fetched_bot,
+                       img_h, output_files, codec)
     logger.info("[ok] canvases written")
 
 
@@ -885,23 +942,33 @@ class _StripeCodec:
     RLE is lossless (run-split of the flattened row-major map); outputs
     are bit-identical across tiers — see test_zonal pack/rle parity.
 
-    Adaptive scheduling: tier decisions resolve opportunistically during
-    the stream (``poll`` checks the prefetched run counts' ``is_ready``
-    without blocking) so the chosen transfer overlaps compute; stragglers
-    are resolved at finalize with ONE batched fetch (``plan_all`` — a
-    per-stripe sync pays a full tunnel RTT). After two consecutive
-    incompressible stripes RLE attempts stop entirely and stripes take
-    the classic pack5+async path, keeping noise-like maps (e.g. argmax of
-    random weights) fully overlapped instead of deferring every packed
-    transfer to finalize.
+    Probe-then-commit scheduling: the first stripes (<= MAX_PROBES) run
+    BOTH encodings and dual-ship — the packed bytes stream immediately
+    (so an incompressible map never waits on a verdict) while the RLE
+    run count crosses asynchronously. Tier decisions resolve
+    opportunistically during the stream (``poll`` checks the prefetched
+    run counts' ``is_ready`` without blocking); the first verdict commits
+    the whole run to ``rle`` (compressible: later stripes ship ~50 KB
+    each and skip the packed transfer) or ``pack5`` (noise-like maps,
+    e.g. argmax of random weights: the classic fully-overlapped path,
+    also chosen when no probe resolves in time). Stragglers are resolved
+    at finalize with ONE batched fetch (``plan_all`` — a per-stripe sync
+    pays a full tunnel RTT). Dual-ship waste is bounded at MAX_PROBES
+    packed stripes on compressible maps and ~150 KB of RLE buffers on
+    incompressible ones.
     """
+
+    MAX_PROBES = 3
 
     def __init__(self, pack: bool, use_rle: bool, img_w: Dict[str, int]):
         self.pack = pack
-        self.use_rle = use_rle
         self.img_w = img_w
         self._pending: list = []  # encoded, tier not yet resolved
-        self._overflow_streak = 0
+        # probe -> rle | pack5: the run's compressibility is measured on
+        # its first stripes and the whole run commits to one codec
+        self.mode = "probe" if (pack and use_rle) else ("pack5" if pack
+                                                        else "raw")
+        self._probes = 0
         if pack:
             from flair_for_aigle_tpu.ops.pack import pack_labels5
 
@@ -915,14 +982,20 @@ class _StripeCodec:
     def encode(self, canvas, t: str, a: int, b: int) -> dict:
         """Encode canvas rows [a, b) and start their async D2H."""
         rec = {"y0": a, "h": b - a}
-        if not self.pack:
+        if self.mode == "raw":
             raw = canvas[:, a:b, : self.img_w[t]]
             raw.copy_to_host_async()
             rec["raw"] = raw
             return rec
         packed = self._pack_jit(canvas[:, a:b, : self.w8[t]])
         rec["packed"] = packed
-        if self.use_rle and self._overflow_streak < 2:
+        mode = self.mode
+        if mode == "probe" and self._probes >= self.MAX_PROBES:
+            # probes unresolved (slow link round-trip) — stop betting: the
+            # probes dual-shipped their packed bytes, so committing to
+            # pack5 keeps every stripe's transfer overlapped either way
+            mode = self.mode = "pack5"
+        if mode in ("probe", "rle"):
             sl = canvas[:, a:b, : self.img_w[t]]
             npx = sl.size
             small = max(64, npx // 256)
@@ -933,6 +1006,13 @@ class _StripeCodec:
                 runs_small.copy_to_host_async()
                 n_runs.copy_to_host_async()
                 rec.update(small=runs_small, mid=runs_mid, n_runs=n_runs)
+                if mode == "probe":
+                    # dual-ship: the packed fallback streams NOW so an
+                    # incompressible map never waits on the probe verdict
+                    packed.copy_to_host_async()
+                    rec["packed_sent"] = True
+                    self._probes += 1
+                    LAST_TIMINGS["rle_probes"] = self._probes
                 self._pending.append(rec)
                 self.poll()
                 return rec
@@ -941,21 +1021,23 @@ class _StripeCodec:
 
     def _decide(self, rec: dict, nr: int) -> None:
         """Tier decision from the fetched run count; launches the chosen
-        tier's D2H. Incompressible stripes bump the overflow streak — two
-        in a row and encode() stops attempting RLE (noise-like maps:
-        straight to 5-bit packing with its transfer fully overlapped)."""
+        tier's D2H and commits the run's codec mode on the first verdict."""
         rec["nr"] = nr
         if nr <= rec["small"].shape[0]:
             rec["tier"] = "small"
-            self._overflow_streak = 0
+            compressible = True
         elif nr <= rec["mid"].shape[0]:
             rec["tier"] = "mid"
             rec["mid"].copy_to_host_async()
-            self._overflow_streak = 0
+            compressible = True
         else:
             rec["tier"] = "packed"
-            rec["packed"].copy_to_host_async()
-            self._overflow_streak += 1
+            if not rec.get("packed_sent"):
+                rec["packed"].copy_to_host_async()
+            compressible = False
+        if self.mode == "probe":
+            self.mode = "rle" if compressible else "pack5"
+            LAST_TIMINGS["d2h_codec_mode"] = self.mode
 
     def poll(self) -> None:
         """Opportunistic tier resolution during the stream: resolve any
@@ -981,6 +1063,7 @@ class _StripeCodec:
         fetch so all transfers are in flight before phase B blocks on the
         first one."""
         pend = [r for r in recs if "n_runs" in r and "tier" not in r]
+        LAST_TIMINGS["plan_pending"] = len(pend)
         if not pend:
             return
         counts = np.asarray(jnp.stack([r["n_runs"] for r in pend]))
@@ -999,7 +1082,9 @@ class _StripeCodec:
             runs = np.asarray(rec[tier])
             dt = time.perf_counter() - t0
             rle_decode_into(runs, rec["nr"], dst)
-            return runs.nbytes + 4, dt
+            # a probe stripe dual-shipped its packed fallback too
+            extra = rec["packed"].nbytes if rec.get("packed_sent") else 0
+            return runs.nbytes + 4 + extra, dt
         if "packed" in rec:
             from flair_for_aigle_tpu.ops.pack import unpack_labels5_into
 
@@ -1018,15 +1103,16 @@ class _StripeCodec:
         return arr.nbytes, dt
 
 
-def _finalize_canvases(tasks, canvases, stripes, fetched_to, img_h,
-                       output_files, codec):
+def _finalize_canvases(tasks, canvases, stripes, fetched_top, fetched_bot,
+                       img_h, output_files, codec):
     """Fetch any canvas rows not yet streamed and land every stripe."""
     t_wait = t_unpack = t_write = 0.0
     d2h_bytes = 0
     for t in tasks:
-        if fetched_to < img_h[t]:
+        if fetched_top < min(fetched_bot, img_h[t]):
             stripes[t].append(
-                codec.encode(canvases[t], t, fetched_to, img_h[t])
+                codec.encode(canvases[t], t, fetched_top,
+                             min(fetched_bot, img_h[t]))
             )
     t0 = time.perf_counter()
     codec.plan_all([rec for t in tasks for rec in stripes[t]])

@@ -41,6 +41,41 @@ DT = jnp.bfloat16
 KEY = jax.random.PRNGKey(0)
 
 
+WALL = os.getenv("WALL")  # also measure per-stage wall time (chained)
+
+
+def _wall_ms(fn, *args):
+    """Wall time per call via chained dependent dispatches + scalar fetch
+    (the axon plugin's block_until_ready does not sync)."""
+    import time
+
+    f = jax.jit(fn)
+
+    def dep(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.reshape(leaf, (-1,))[0].astype(jnp.float32)
+
+    def run(k, args):
+        args = list(args)
+        acc = jnp.float32(0)
+        for _ in range(k):
+            out = f(*args)
+            acc = acc + dep(out)
+            # perturb the LAST arg (activation tensor) so runs chain
+            a = args[-1]
+            args[-1] = a + (acc * 0).astype(a.dtype)
+        float(acc)
+
+    run(2, args)
+    t0 = time.perf_counter()
+    run(2, args)
+    t2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(10, args)
+    t10 = time.perf_counter() - t0
+    return (t10 - t2) / 8 * 1e3
+
+
 def cost(name, fn, *args):
     try:
         ca = jax.jit(fn).lower(*args).compile().cost_analysis()
@@ -48,11 +83,13 @@ def cost(name, fn, *args):
             ca = ca[0]
         gb = float(ca.get("bytes accessed", 0.0)) / 1e9
         tf = float(ca.get("flops", 0.0)) / 1e12
-        print(json.dumps({"stage": name, "hbm_gb": round(gb, 3),
-                          "tflops": round(tf, 3),
-                          "ms_at_820gbps": round(gb / 0.82, 2),
-                          "ms_at_197tfps": round(tf / 0.197, 2)}),
-              flush=True)
+        rec = {"stage": name, "hbm_gb": round(gb, 3),
+               "tflops": round(tf, 3),
+               "ms_at_820gbps": round(gb / 0.82, 2),
+               "ms_at_197tfps": round(tf / 0.197, 2)}
+        if WALL:
+            rec["wall_ms"] = round(_wall_ms(fn, *args), 1)
+        print(json.dumps(rec), flush=True)
         return gb
     except Exception as e:  # cost model may be absent on some plugins
         print(json.dumps({"stage": name, "error": str(e)[:200]}), flush=True)
