@@ -163,19 +163,22 @@ def main():
     pack, _, _ = run_zonal(make_cfg(warm_path, out_dir))
 
     # timed: 1 km2 end-to-end (read -> tile -> infer -stitch -> write);
-    # best of 7 — the shared tunnel's transfer rate swings ~50x between
-    # phases and dominates elapsed; more attempts = better odds of
-    # measuring the pipeline rather than the tunnel. Per-run phase
-    # timings (read/put/dispatch/finalize, D2H bytes) are published in
-    # ``detail`` so a tunnel-floored result is attributable.
+    # best of up to 12 (>=5, ~150 s budget) — the shared tunnel's transfer
+    # rate swings ~50x between phases and dominates elapsed; more attempts
+    # = better odds of measuring the pipeline rather than the tunnel.
+    # Per-run phase timings (read/put/dispatch/finalize, D2H bytes) are
+    # published in ``detail`` so a tunnel-floored result is attributable.
     from flair_for_aigle_tpu.zonal import inference as zi
 
     runs, phases = [], []
-    for _ in range(7):
+    deadline = time.time() + 150  # sample tunnel phases; bounded wall time
+    for _ in range(12):
         t0 = time.time()
         _, n_tiles, temp_paths = run_zonal(make_cfg(big_path, out_dir), pack)
         runs.append(time.time() - t0)
         phases.append(dict(zi.LAST_TIMINGS))
+        if time.time() > deadline and len(runs) >= 5:
+            break
     best = int(np.argmin(runs))
     elapsed = runs[best]
     bp = phases[best]
