@@ -123,8 +123,16 @@ class WindowAttention(nn.Module):
     kernel_mode: str = "auto"
 
     @nn.compact
-    def __call__(self, y: jax.Array, train: bool = False) -> jax.Array:
-        b, hp, wp, c = y.shape
+    def __call__(self, y: jax.Array, train: bool = False, *,
+                 windows: bool = False,
+                 padded_hw: tuple[int, int] | None = None) -> jax.Array:
+        if windows:
+            # pre-partitioned (B*nW, T, C) input from the fused prep kernel
+            # (ops/pallas/prep.py) — kernel path only
+            _, _, c = y.shape
+            hp, wp = padded_hw
+        else:
+            b, hp, wp, c = y.shape
         nh = self.num_heads
         hd = c // nh
         wh, ww = self.window_size
@@ -147,7 +155,7 @@ class WindowAttention(nn.Module):
                 and _use_attn_kernel(self.kernel_mode)):
             from flair_for_aigle_tpu.models.layers import LinearParams
 
-            x = window_partition(y, ws)
+            x = y if windows else window_partition(y, ws)
             wqkv, bqkv = LinearParams(3 * c, name="qkv")(c)
             wproj, bproj = LinearParams(c, name="proj")(c)
             bias = jnp.transpose(
@@ -160,6 +168,10 @@ class WindowAttention(nn.Module):
             )
             return window_reverse(out, ws, hp, wp)
 
+        if windows:
+            raise ValueError(
+                "windows=True requires the fused attention kernel path"
+            )
         x = window_partition(y, ws)
         bnw = x.shape[0]
         mask = _shift_attn_mask(hp, wp, ws, ss)
@@ -206,19 +218,47 @@ class SwinBlock(nn.Module):
         ss = ws // 2 if (self.shift and min(h, w) > ws) else 0
 
         shortcut = x
-        y = TorchLayerNorm(name="norm1")(x)
-        if ss:
-            y = jnp.roll(y, (-ss, -ss), axis=(1, 2))
-        # timm: pad bottom/right to window multiples after the roll
         pad_h = (ws - h % ws) % ws
         pad_w = (ws - w % ws) % ws
-        if pad_h or pad_w:
-            y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        y = WindowAttention(
-            self.dim, self.num_heads, self.window_size, (ws, ws),
-            shift_size=ss, attn_f32=self.attn_f32,
-            kernel_mode=self.kernel_mode, name="attn",
-        )(y, train=train)
+
+        from flair_for_aigle_tpu.ops.pallas import prep as prepk
+        from flair_for_aigle_tpu.ops.pallas import window_attn as wak
+
+        import os as _os
+
+        # FLAIR_SWIN_PREP=1 opts into the fused prologue kernel — staged
+        # default-off until its Mosaic lowering is validated on real v5e
+        # (interpret-mode parity is green; see tests/test_prep_kernel.py)
+        if (_use_attn_kernel(self.kernel_mode)
+                and _os.getenv("FLAIR_SWIN_PREP", "0") == "1"
+                and wak.supports(c, self.num_heads, ws)
+                and prepk.supports(h, w, c, ws,
+                                   jnp.dtype(x.dtype).itemsize)):
+            # fused prologue: LN1 + roll + pad + window partition in one
+            # VMEM pass (the XLA glue was ~6 HBM passes per block); the
+            # param-shadow keeps the norm1 tree identical to the XLA path
+            from flair_for_aigle_tpu.models.layers import LayerNormParams
+
+            ln_s, ln_b = LayerNormParams(name="norm1")(c)
+            win = prepk.fused_ln_shift_partition(x, ln_s, ln_b, ws=ws, ss=ss)
+            y = WindowAttention(
+                self.dim, self.num_heads, self.window_size, (ws, ws),
+                shift_size=ss, attn_f32=self.attn_f32,
+                kernel_mode=self.kernel_mode, name="attn",
+            )(win, train=train, windows=True,
+              padded_hw=(h + pad_h, w + pad_w))
+        else:
+            y = TorchLayerNorm(name="norm1")(x)
+            if ss:
+                y = jnp.roll(y, (-ss, -ss), axis=(1, 2))
+            # timm: pad bottom/right to window multiples after the roll
+            if pad_h or pad_w:
+                y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            y = WindowAttention(
+                self.dim, self.num_heads, self.window_size, (ws, ws),
+                shift_size=ss, attn_f32=self.attn_f32,
+                kernel_mode=self.kernel_mode, name="attn",
+            )(y, train=train)
         if pad_h or pad_w:
             y = y[:, :h, :w, :]
         if ss:

@@ -1,0 +1,137 @@
+"""Parity: fused LN+shift+pad+partition prep kernel vs the XLA glue.
+
+Runs the Pallas kernel in interpret mode on CPU against the exact
+models/swin.py lowering (TorchLayerNorm + roll + pad + window_partition)
+for shifted/unshifted and padded/unpadded geometries, plus the VJP
+(recompute backward) against XLA autodiff.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flair_for_aigle_tpu.ops.pallas.prep import (
+    _xla_forward,
+    fused_ln_shift_partition,
+    supports,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _mk(b, h, w, c, dtype=jnp.float32):
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal((b, h, w, c), np.float32), dtype)
+    s = jnp.asarray(rng.standard_normal((c,), np.float32) * 0.2 + 1.0)
+    bi = jnp.asarray(rng.standard_normal((c,), np.float32) * 0.1)
+    return x, s, bi
+
+
+@pytest.mark.parametrize("h,w,ws,ss", [
+    (24, 24, 12, 0),    # exact multiple, no shift
+    (24, 24, 12, 6),    # exact multiple, shifted
+    (20, 20, 12, 6),    # pad 20 -> 24, shifted
+    (32, 32, 12, 0),    # pad 32 -> 36 (stage-3 geometry, small batch)
+    (32, 32, 12, 6),
+])
+def test_prep_matches_xla(h, w, ws, ss):
+    x, s, b = _mk(2, h, w, 128)
+    got = fused_ln_shift_partition(x, s, b, ws=ws, ss=ss, interpret=True)
+    want = _xla_forward(x, s, b, ws=ws, ss=ss, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_prep_matches_swin_glue():
+    """Against the production SwinBlock glue ops directly."""
+    from flair_for_aigle_tpu.models.layers import TorchLayerNorm
+    from flair_for_aigle_tpu.models.swin import window_partition
+
+    h = w = 20
+    ws, ss = 12, 6
+    x, s, b = _mk(1, h, w, 128)
+    ln = TorchLayerNorm()
+    vars_ = {"params": {"scale": s, "bias": b}}
+    y = ln.apply(vars_, x)
+    y = jnp.roll(y, (-ss, -ss), axis=(1, 2))
+    y = jnp.pad(y, ((0, 0), (0, 4), (0, 4), (0, 0)))
+    want = window_partition(y, ws)
+    got = fused_ln_shift_partition(x, s, b, ws=ws, ss=ss, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_prep_bf16_parity():
+    x, s, b = _mk(2, 24, 24, 128, jnp.bfloat16)
+    got = fused_ln_shift_partition(x, s, b, ws=12, ss=6, interpret=True)
+    want = _xla_forward(x, s, b, ws=12, ss=6, eps=1e-5)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got.astype(jnp.float32)),
+                                  np.asarray(want.astype(jnp.float32)))
+
+
+def test_prep_vjp_matches_xla_grad():
+    x, s, b = _mk(1, 24, 24, 128)
+
+    def f_kernel(x, s, b):
+        o = fused_ln_shift_partition(x, s, b, ws=12, ss=6, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def f_ref(x, s, b):
+        o = _xla_forward(x, s, b, ws=12, ss=6, eps=1e-5)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2))(x, s, b)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, s, b)
+    for a, e in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_supports_gate():
+    assert supports(32, 32, 512, 12)
+    assert supports(128, 128, 128, 12)
+    assert not supports(32, 32, 100, 12)   # lanes
+    assert not supports(32, 30, 512, 12)   # sublane width
+
+
+@pytest.mark.parametrize("h,w,shift", [(8, 8, False), (16, 16, True),
+                                        (20, 20, True)])
+def test_swin_block_kernel_on_off_parity(h, w, shift, monkeypatch):
+    """Full SwinBlock: prep + attention + FFN kernels (interpret) vs the
+    pure-XLA lowering, same params."""
+    monkeypatch.setenv("FLAIR_SWIN_PREP", "1")
+    from flair_for_aigle_tpu.models.swin import SwinBlock
+
+    c, nh, ws = 128, 4, 4
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, h, w, c), np.float32))
+    kw = dict(dim=c, num_heads=nh, window_size=ws, shift=shift)
+    ref = SwinBlock(kernel_mode="off", **kw)
+    ker = SwinBlock(kernel_mode="on", **kw)
+    variables = ref.init(KEY, x)
+    want = ref.apply(variables, x)
+    got = ker.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_swin_block_kernel_grad_parity(monkeypatch):
+    monkeypatch.setenv("FLAIR_SWIN_PREP", "1")
+    from flair_for_aigle_tpu.models.swin import SwinBlock
+
+    c, nh, ws = 128, 4, 4
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, c), np.float32))
+    kw = dict(dim=c, num_heads=nh, window_size=ws, shift=True)
+    ref = SwinBlock(kernel_mode="off", **kw)
+    ker = SwinBlock(kernel_mode="on", **kw)
+    variables = ref.init(KEY, x)
+
+    def loss(m):
+        def f(xx):
+            return jnp.sum(m.apply(variables, xx) ** 2)
+        return jax.grad(f)(x)
+
+    np.testing.assert_allclose(np.asarray(loss(ker)), np.asarray(loss(ref)),
+                               rtol=1e-4, atol=1e-4)

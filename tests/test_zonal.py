@@ -418,6 +418,48 @@ def test_rle_roundtrip():
     np.testing.assert_array_equal(dst3, y)
 
 
+def test_stripe_codec_probe_commit():
+    """_StripeCodec mode machine: probes dual-ship and the first verdict
+    commits the run to rle (compressible) or pack5 (noise)."""
+    import jax.numpy as jnp
+    from flair_for_aigle_tpu.zonal.inference import _StripeCodec
+
+    w = 640
+    img_w = {"T": w}
+    # compressible canvas: constant classes in large bands
+    canvas = jnp.asarray(
+        np.repeat(np.arange(8, dtype=np.uint8) % 19, w // 8)[None, None, :]
+        * np.ones((1, 2048, 1), np.uint8)
+    )
+    codec = _StripeCodec(True, True, img_w)
+    assert codec.mode == "probe"
+    recs = [codec.encode(canvas, "T", i * 512, (i + 1) * 512)
+            for i in range(4)]
+    codec.plan_all(recs)
+    assert codec.mode == "rle"
+    assert all(r.get("tier") in ("small", "mid") for r in recs)
+    dst = np.empty((1, 512, w), np.uint8)
+    codec.decode_into(recs[0], dst)
+    np.testing.assert_array_equal(dst, np.asarray(canvas[:, :512, :w]))
+
+    # noise canvas: overflows -> pack5 commit; probes dual-shipped packed
+    noise = jnp.asarray(
+        np.random.default_rng(0).integers(0, 19, (1, 2048, w))
+        .astype(np.uint8)
+    )
+    codec2 = _StripeCodec(True, True, img_w)
+    recs2 = [codec2.encode(noise, "T", i * 512, (i + 1) * 512)
+             for i in range(4)]
+    codec2.plan_all(recs2)
+    assert codec2.mode == "pack5"
+    probed = [r for r in recs2 if "n_runs" in r]
+    assert probed and all(r.get("packed_sent") for r in probed)
+    assert any("n_runs" not in r for r in recs2) or len(probed) <= 3
+    dst2 = np.empty((1, 512, w), np.uint8)
+    codec2.decode_into(recs2[-1], dst2)
+    np.testing.assert_array_equal(dst2, np.asarray(noise[:, 1536:2048, :w]))
+
+
 def test_run_inference_d2h_codecs_identical(tmp_path):
     """auto (RLE tiers), pack5, and raw D2H must land bit-identical
     rasters through the full run_inference path."""
