@@ -133,10 +133,42 @@ def run_zonal(cfg: dict, model_pack=None):
     return model_pack, len(tiles), temp_paths
 
 
+def _probe_backend(timeout_s: int = 180) -> str | None:
+    """Initialize the TPU backend in a SUBPROCESS with a hard timeout.
+
+    The axon plugin retries forever while its tunnel is down — a direct
+    ``jax.devices()`` here would hang the driver's bench run with no
+    artifact at all. A bounded probe lets us emit an attributable zero
+    instead (observed: a 2h tunnel outage)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if r.returncode == 0:
+            return None
+        return f"backend init failed: {r.stderr.strip()[-200:]}"
+    except subprocess.TimeoutExpired:
+        return f"backend init timed out after {timeout_s}s (tunnel down?)"
+
+
 def main():
     import logging
 
     logging.basicConfig(level=logging.WARNING)
+
+    err = _probe_backend()
+    if err:
+        print(json.dumps({
+            "metric": "km2_per_hour_zonal_20cm_vhr_per_chip",
+            "value": 0.0, "unit": "km2/h", "vs_baseline": 0.0,
+            "detail": {"error": err},
+        }))
+        return
+
     work = os.path.join(REPO, ".tmp", "bench")
     os.makedirs(work, exist_ok=True)
 
