@@ -125,7 +125,8 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, y: jax.Array, train: bool = False, *,
                  windows: bool = False,
-                 padded_hw: tuple[int, int] | None = None) -> jax.Array:
+                 padded_hw: tuple[int, int] | None = None,
+                 return_windows: bool = False) -> jax.Array:
         if windows:
             # pre-partitioned (B*nW, T, C) input from the fused prep kernel
             # (ops/pallas/prep.py) — kernel path only
@@ -166,11 +167,14 @@ class WindowAttention(nn.Module):
                 num_heads=nh, window_size=ws, shift_size=ss,
                 grid_hw=(hp // ws, wp // ws), out_dtype=y.dtype,
             )
+            if return_windows:
+                return out
             return window_reverse(out, ws, hp, wp)
 
-        if windows:
+        if windows or return_windows:
             raise ValueError(
-                "windows=True requires the fused attention kernel path"
+                "windows/return_windows require the fused attention "
+                "kernel path"
             )
         x = window_partition(y, ws)
         bnw = x.shape[0]
@@ -241,6 +245,31 @@ class SwinBlock(nn.Module):
 
             ln_s, ln_b = LayerNormParams(name="norm1")(c)
             win = prepk.fused_ln_shift_partition(x, ln_s, ln_b, ws=ws, ss=ss)
+            hidden_f = int(self.dim * self.mlp_ratio)
+
+            from flair_for_aigle_tpu.ops.pallas import finish as fink
+
+            if (_os.getenv("FLAIR_SWIN_FINISH", "0") == "1"
+                    and fink.supports(h, w, c, hidden_f, ws,
+                                      jnp.dtype(x.dtype).itemsize)):
+                # fully fused block: prep -> attention -> finish, zero XLA
+                # glue between the three kernels
+                from flair_for_aigle_tpu.models.layers import MLPParams
+
+                win_o = WindowAttention(
+                    self.dim, self.num_heads, self.window_size, (ws, ws),
+                    shift_size=ss, attn_f32=self.attn_f32,
+                    kernel_mode=self.kernel_mode, name="attn",
+                )(win, train=train, windows=True,
+                  padded_hw=(h + pad_h, w + pad_w), return_windows=True)
+                ln_s2, ln_b2 = LayerNormParams(name="norm2")(c)
+                (w1, b1), (w2, b2) = MLPParams(hidden_f, self.dim,
+                                               name="mlp")(c)
+                return fink.fused_reverse_ln_mlp_residual(
+                    win_o, shortcut, ln_s2, ln_b2, w1, b1, w2, b2,
+                    ws=ws, ss=ss,
+                )
+
             y = WindowAttention(
                 self.dim, self.num_heads, self.window_size, (ws, ws),
                 shift_size=ss, attn_f32=self.attn_f32,

@@ -135,3 +135,100 @@ def test_swin_block_kernel_grad_parity(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(loss(ker)), np.asarray(loss(ref)),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# finish kernel (window reverse + crop + un-shift + residual + LN + MLP)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("h,w,ws,ss", [
+    (24, 24, 12, 0),
+    (24, 24, 12, 6),
+    (20, 20, 12, 6),   # padded windows
+    (16, 16, 4, 2),
+])
+def test_finish_matches_xla(h, w, ws, ss):
+    from flair_for_aigle_tpu.ops.pallas.finish import (
+        _xla_forward as fin_ref,
+        fused_reverse_ln_mlp_residual,
+    )
+
+    c, hidden = 128, 256
+    rng = np.random.default_rng(5)
+    hp = h + (ws - h % ws) % ws
+    wp = w + (ws - w % ws) % ws
+    nw = (hp // ws) * (wp // ws)
+    win = jnp.asarray(rng.standard_normal((2 * nw, ws * ws, c), np.float32))
+    x = jnp.asarray(rng.standard_normal((2, h, w, c), np.float32))
+    s = jnp.asarray(rng.standard_normal((c,), np.float32) * 0.1 + 1)
+    b = jnp.asarray(rng.standard_normal((c,), np.float32) * 0.1)
+    w1 = jnp.asarray(rng.standard_normal((c, hidden), np.float32) * 0.05)
+    b1 = jnp.asarray(rng.standard_normal((hidden,), np.float32) * 0.05)
+    w2 = jnp.asarray(rng.standard_normal((hidden, c), np.float32) * 0.05)
+    b2 = jnp.asarray(rng.standard_normal((c,), np.float32) * 0.05)
+    got = fused_reverse_ln_mlp_residual(win, x, s, b, w1, b1, w2, b2,
+                                        ws=ws, ss=ss, interpret=True)
+    want = fin_ref(win, x, s, b, w1, b1, w2, b2, ws=ws, ss=ss, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_finish_vjp_matches_xla_grad():
+    from flair_for_aigle_tpu.ops.pallas.finish import (
+        _xla_forward as fin_ref,
+        fused_reverse_ln_mlp_residual,
+    )
+
+    c, hidden, h, w, ws, ss = 128, 256, 16, 16, 4, 2
+    rng = np.random.default_rng(6)
+    nw = (h // ws) * (w // ws)
+    win = jnp.asarray(rng.standard_normal((nw, ws * ws, c), np.float32))
+    x = jnp.asarray(rng.standard_normal((1, h, w, c), np.float32))
+    s = jnp.ones((c,), jnp.float32)
+    b = jnp.zeros((c,), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, hidden), np.float32) * 0.05)
+    b1 = jnp.zeros((hidden,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hidden, c), np.float32) * 0.05)
+    b2 = jnp.zeros((c,), jnp.float32)
+
+    def f_k(win, x, w1):
+        o = fused_reverse_ln_mlp_residual(win, x, s, b, w1, b1, w2, b2,
+                                          ws=ws, ss=ss, interpret=True)
+        return jnp.sum(o ** 2)
+
+    def f_r(win, x, w1):
+        o = fin_ref(win, x, s, b, w1, b1, w2, b2, ws=ws, ss=ss, eps=1e-5)
+        return jnp.sum(o ** 2)
+
+    gk = jax.grad(f_k, argnums=(0, 1, 2))(win, x, w1)
+    gr = jax.grad(f_r, argnums=(0, 1, 2))(win, x, w1)
+    for a, e in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("h,w,shift", [(16, 16, True), (8, 8, False)])
+def test_swin_block_fully_fused_parity(h, w, shift, monkeypatch):
+    """prep + attention + finish (three kernels, zero XLA glue) vs the
+    pure-XLA SwinBlock."""
+    monkeypatch.setenv("FLAIR_SWIN_PREP", "1")
+    monkeypatch.setenv("FLAIR_SWIN_FINISH", "1")
+    from flair_for_aigle_tpu.models.swin import SwinBlock
+
+    c, nh, ws = 128, 4, 4
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, h, w, c), np.float32))
+    kw = dict(dim=c, num_heads=nh, window_size=ws, shift=shift)
+    ref = SwinBlock(kernel_mode="off", **kw)
+    ker = SwinBlock(kernel_mode="on", **kw)
+    variables = ref.init(KEY, x)
+    want = ref.apply(variables, x)
+    got = ker.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+    g1 = jax.grad(lambda xx: jnp.sum(ker.apply(variables, xx) ** 2))(x)
+    g2 = jax.grad(lambda xx: jnp.sum(ref.apply(variables, xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
