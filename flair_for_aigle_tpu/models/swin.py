@@ -316,6 +316,7 @@ class SwinBlock(nn.Module):
 
 class PatchMerging(nn.Module):
     out_dim: int
+    kernel_mode: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -323,6 +324,27 @@ class PatchMerging(nn.Module):
         if h % 2 or w % 2:
             x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
             b, h, w, c = x.shape
+
+        import os as _os
+
+        from flair_for_aigle_tpu.ops.pallas import merge as mergek
+
+        # FLAIR_SWIN_MERGE=1 opts into the fused gather+LN+reduction kernel
+        # (staged default-off until Mosaic-validated on real v5e)
+        if (_use_attn_kernel(self.kernel_mode)
+                and _os.getenv("FLAIR_SWIN_MERGE", "0") == "1"
+                and mergek.supports(h, w, c, self.out_dim,
+                                    jnp.dtype(x.dtype).itemsize)):
+            from flair_for_aigle_tpu.models.layers import (
+                LayerNormParams,
+                LinearParams,
+            )
+
+            ln_s, ln_b = LayerNormParams(name="norm")(4 * c)
+            w_red, _ = LinearParams(self.out_dim, use_bias=False,
+                                    name="reduction")(4 * c)
+            return mergek.fused_patch_merge(x, ln_s, ln_b, w_red)
+
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         # timm order: flatten over (w_sub, h_sub) -> [x00, x10, x01, x11]
         x = jnp.transpose(x, (0, 1, 3, 4, 2, 5)).reshape(b, h // 2, w // 2, 4 * c)
@@ -371,7 +393,8 @@ class SwinTransformerEncoder(nn.Module):
         for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             dim = self.embed_dim * (2 ** i)
             if i > 0:
-                y = PatchMerging(dim, name=f"layers.{i}.downsample")(y)
+                y = PatchMerging(dim, kernel_mode=self.attn_kernel,
+                                 name=f"layers.{i}.downsample")(y)
             for j in range(depth):
                 y = block_cls(
                     dim=dim,

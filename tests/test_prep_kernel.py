@@ -232,3 +232,71 @@ def test_swin_block_fully_fused_parity(h, w, shift, monkeypatch):
     g2 = jax.grad(lambda xx: jnp.sum(ref.apply(variables, xx) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# patch-merging kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("h,w,c,out_c", [(8, 8, 128, 256), (16, 8, 128, 128)])
+def test_merge_matches_xla(h, w, c, out_c):
+    from flair_for_aigle_tpu.ops.pallas.merge import (
+        _xla_forward as merge_ref,
+        fused_patch_merge,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, h, w, c), np.float32))
+    s = jnp.asarray(rng.standard_normal((4 * c,), np.float32) * 0.1 + 1)
+    b = jnp.asarray(rng.standard_normal((4 * c,), np.float32) * 0.1)
+    wr = jnp.asarray(rng.standard_normal((4 * c, out_c), np.float32) * 0.05)
+    got = fused_patch_merge(x, s, b, wr, interpret=True)
+    want = merge_ref(x, s, b, wr, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_merge_module_kernel_parity(monkeypatch):
+    """PatchMerging module: fused kernel (interpret) vs the XLA path with
+    identical params, forward and grad."""
+    monkeypatch.setenv("FLAIR_SWIN_MERGE", "1")
+    from flair_for_aigle_tpu.models.swin import PatchMerging
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 128), np.float32))
+    ref = PatchMerging(256, kernel_mode="off")
+    ker = PatchMerging(256, kernel_mode="on")
+    v = ref.init(KEY, x)
+    want = ref.apply(v, x)
+    got = ker.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    g1 = jax.grad(lambda xx: jnp.sum(ker.apply(v, xx) ** 2))(x)
+    g2 = jax.grad(lambda xx: jnp.sum(ref.apply(v, xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_merge_timm_segment_order():
+    """The kernel's in-kernel gather must match timm's documented
+    [x00, x10, x01, x11] (row, col) parity order through the reduction."""
+    from flair_for_aigle_tpu.ops.pallas.merge import fused_patch_merge
+
+    c = 128
+    # x encodes (row_parity*2 + col_parity) in channel 0
+    x = np.zeros((1, 4, 4, c), np.float32)
+    for r in range(4):
+        for cc in range(4):
+            x[0, r, cc, 0] = (r % 2) * 2 + (cc % 2)
+    s = jnp.ones((4 * c,)); b = jnp.zeros((4 * c,))
+    # pick out each segment's channel 0 via the reduction weight
+    wr = np.zeros((4 * c, 128), np.float32)
+    for k in range(4):
+        wr[k * c, k] = 1.0
+    out = np.asarray(fused_patch_merge(jnp.asarray(x), s, b,
+                                       jnp.asarray(wr), interpret=True))
+    # after LN of a constant-ish pattern the ORDER of magnitudes must match
+    # [x00, x10, x01, x11] = values [0, 2, 1, 3] normalized; verify ranking
+    vals = out[0, 0, 0, :4]
+    assert vals[0] < vals[2] < vals[1] < vals[3]
