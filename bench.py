@@ -160,7 +160,14 @@ def main():
 
     logging.basicConfig(level=logging.WARNING)
 
-    err = _probe_backend()
+    # retry the probe for up to ~15 min: tunnel outages are transient
+    # (observed 4h one on 2026-08-17, but typically minutes) and a real
+    # late sample beats an attributable zero
+    err = None
+    for _ in range(5):
+        err = _probe_backend()
+        if err is None:
+            break
     if err:
         print(json.dumps({
             "metric": "km2_per_hour_zonal_20cm_vhr_per_chip",
