@@ -164,10 +164,13 @@ def main():
     # (observed 4h one on 2026-08-17, but typically minutes) and a real
     # late sample beats an attributable zero
     err = None
-    for _ in range(5):
+    for attempt in range(5):
+        t0 = time.time()
         err = _probe_backend()
         if err is None:
             break
+        if attempt < 4 and time.time() - t0 < 120:
+            time.sleep(120)  # fast failure: pace the retries
     if err:
         print(json.dumps({
             "metric": "km2_per_hour_zonal_20cm_vhr_per_chip",
