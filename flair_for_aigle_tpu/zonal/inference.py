@@ -567,7 +567,11 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
 
     tasks = list(output_files.keys())
     n_classes = {t: output_files[t].count for t in tasks}
-    plan = device_tiling_plan(config) if mesh is None else None
+    # the resident path runs under DP meshes too: rasters/canvases stay
+    # replicated, the shard_mapped step gathers+computes each shard's slice
+    # of the batch, and GSPMD all-gathers the small uint8 tiles for the
+    # replicated canvas scatter
+    plan = device_tiling_plan(config)
     device_norm = None
     if plan:
         device_norm = plan["norm_specs"]
@@ -779,10 +783,20 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
             r = readers[mod]
             n_ch = len(config["modalities"][mod].get("channels")
                        or range(r.count))
-            bufs[mod] = jnp.zeros(
+            buf = jnp.zeros(
                 (n_ch, r.height + 2 * margin_px, r.width + 2 * margin_px),
                 np.dtype(r.dtypes[0]),
             )
+            if mesh is not None:
+                from flair_for_aigle_tpu.parallel.mesh import replicated
+
+                buf = jax.device_put(buf, replicated(mesh))
+            bufs[mod] = buf
+        stripe_sharding = None
+        if mesh is not None:
+            from flair_for_aigle_tpu.parallel.mesh import replicated
+
+            stripe_sharding = replicated(mesh)
         height = readers[plan["mods"][0]].height
         width = readers[plan["mods"][0]].width
         itemsize = max(np.dtype(readers[m].dtypes[0]).itemsize
@@ -841,7 +855,8 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
                     arr = arr[None]
                 t1 = time.perf_counter()
                 bufs[mod] = _place_stripe(
-                    bufs[mod], jax.device_put(arr),
+                    bufs[mod],
+                    jax.device_put(arr, stripe_sharding),
                     jnp.int32(y0 + margin_px), x0,
                 )
                 t2 = time.perf_counter()

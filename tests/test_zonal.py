@@ -509,6 +509,40 @@ def test_kernels_not_disabled_under_dp(tmp_path):
     assert mc2["models"]["monotemp_model"]["attn_kernel"] == "auto"
 
 
+def test_zonal_dp_resident_path_matches_single_device(tmp_path):
+    """HBM-resident raster path under the 8-device CPU mesh: replicated
+    rasters + shard_mapped gather/forward must produce the identical
+    canvas to the single-device resident path (and the plan must actually
+    engage in both runs)."""
+    from flair_for_aigle_tpu.zonal.inference import device_tiling_plan
+
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96, seed=17)
+    base = make_zonal_config(tmp_path, img)
+    base["batch_size"] = 8
+    base["normalize_on_device"] = True  # custom norm -> resident plan in auto
+
+    from flair_for_aigle_tpu.zonal.inference import (
+        initialize_geometry_and_resolutions,
+    )
+
+    probe = initialize_geometry_and_resolutions(dict(base))
+    assert device_tiling_plan(probe) is not None
+
+    cfg1 = dict(base)
+    single = run_inference(cfg1)
+    with open_raster(single["AERIAL_LABEL-COSIA"]) as src:
+        want = src.read(1)
+
+    cfg2 = dict(base)
+    cfg2["output_name"] = "test_zonal_dp_resident"
+    cfg2["data_parallel_devices"] = 8
+    dp = run_inference(cfg2)
+    with open_raster(dp["AERIAL_LABEL-COSIA"]) as src:
+        got = src.read(1)
+    np.testing.assert_array_equal(want, got)
+
+
 def test_zonal_dp_kernels_on_matches_single_device(tmp_path):
     """Fused pallas kernels (attention + FFN + stride-4 epilogue) running
     inside shard_map over the 8-device CPU mesh (interpret mode) produce the
