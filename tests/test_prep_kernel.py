@@ -300,3 +300,27 @@ def test_merge_timm_segment_order():
     # [x00, x10, x01, x11] = values [0, 2, 1, 3] normalized; verify ranking
     vals = out[0, 0, 0, :4]
     assert vals[0] < vals[2] < vals[1] < vals[3]
+
+
+def test_swin_encoder_fully_fused_parity(monkeypatch):
+    """Two-stage encoder with ALL fused kernels chained (prep + attention
+    + finish per block, fused patch merging between stages) vs the pure
+    XLA encoder, same params — catches inter-kernel wiring bugs."""
+    monkeypatch.setenv("FLAIR_SWIN_PREP", "1")
+    monkeypatch.setenv("FLAIR_SWIN_FINISH", "1")
+    monkeypatch.setenv("FLAIR_SWIN_MERGE", "1")
+    from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
+
+    kw = dict(in_channels=3, embed_dim=128, depths=(1, 1),
+              num_heads=(4, 8), window_size=4, patch_size=4)
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3), np.float32))
+    ref = SwinTransformerEncoder(attn_kernel="off", **kw)
+    ker = SwinTransformerEncoder(attn_kernel="on", **kw)
+    variables = ref.init(KEY, x)
+    want = ref.apply(variables, x)
+    got = ker.apply(variables, x)
+    assert len(got) == len(want)
+    for a, e in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=3e-5, atol=3e-5)
