@@ -269,11 +269,16 @@ class BatchedLoader:
     """
 
     def __init__(self, dataset, batch_size: int, prefetch: int = 2,
-                 num_workers: int = 1):
+                 num_workers: int = 1, order=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.prefetch = max(1, prefetch)
         self.num_workers = max(1, num_workers)
+        #: optional index permutation; the zonal engine sets a bottom-up
+        #: row-major order so output rows finalize progressively (streamed
+        #: canvas D2H) — seam winners stay reference-identical, see
+        #: inference.py
+        self.order = order
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -301,8 +306,10 @@ class BatchedLoader:
 
     def __iter__(self):
         n = len(self.dataset)
+        idx = list(self.order) if self.order is not None else list(range(n))
+        assert len(idx) == n
         chunks = [
-            list(range(i, min(i + self.batch_size, n)))
+            idx[i:i + self.batch_size]
             for i in range(0, n, self.batch_size)
         ]
         if self.num_workers > 1:

@@ -670,7 +670,6 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
 
     fetched_top = 0                 # rows [0, fetched_top) encoded
     fetched_bot = img_h[tasks[0]]   # rows [fetched_bot, H) encoded
-    fmt_host, fmb_host = _future_frontiers(np.arange(n_total))
     stripes: Dict[str, list] = {t: [] for t in tasks}
     consumed = 0
     stripe_min_rows = 512  # streamed-stripe quantum (one jit shape)
@@ -896,6 +895,24 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
     # read for their spatial size, so a device-resident zero stand-in with
     # one channel is substituted once.
     device_labels = None
+    # iterate the loader bottom-up row-major so output rows finalize
+    # progressively (streamed canvas D2H); same permutation + seam-winner
+    # proof as the resident path. A foreign loader (or a pre-set custom
+    # order) keeps its order and the frontier stays fully conservative —
+    # everything lands in the single finalize encode, which is correct for
+    # ANY consumption order.
+    host_order = np.lexsort((tile_lefts, -tile_tops))
+    order_used = None
+    if n_total > 1 and hasattr(dataloader, "order"):
+        if dataloader.order is None:
+            dataloader.order = host_order.tolist()
+        if list(dataloader.order) == host_order.tolist():
+            order_used = host_order
+    if order_used is not None:
+        fmt_host, fmb_host = _future_frontiers(order_used)
+    else:
+        fmt_host = np.zeros(n_total + 1, np.int64)
+        fmb_host = np.full(n_total + 1, img_h[tasks[0]], np.int64)
     for batch in dataloader:
         valid = batch.pop("valid")
         indices = np.asarray(batch["index"]).reshape(-1)
