@@ -41,9 +41,12 @@ def _build_call(b: int, h: int, w: int, c: int, out_c: int, eps: float,
             segs = (r0[:, 0, :], r1[:, 0, :], r0[:, 1, :], r1[:, 1, :])
             fsegs = [s.astype(jnp.float32) for s in segs]
             s1 = sum(jnp.sum(s, axis=-1, keepdims=True) for s in fsegs)
-            s2 = sum(jnp.sum(s * s, axis=-1, keepdims=True) for s in fsegs)
             mean = s1 / (4 * c)
-            var = s2 / (4 * c) - mean * mean
+            # two-pass variance (XLA-path parity; the one-pass
+            # E[x^2]-mean^2 form cancels catastrophically in f32)
+            s2 = sum(jnp.sum((s - mean) ** 2, axis=-1, keepdims=True)
+                     for s in fsegs)
+            var = s2 / (4 * c)
             rstd = jax.lax.rsqrt(var + eps)
             acc = jnp.zeros((w2, out_c), jnp.float32)
             for k, s in enumerate(fsegs):
