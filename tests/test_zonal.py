@@ -611,3 +611,64 @@ def test_class_prob_fused_epilogue_e2e(tmp_path):
     # resnet-unet head is full-res -> fused gate never engages; both paths
     # must be byte-identical (documents the unet gating)
     np.testing.assert_array_equal(outs[True], outs[False])
+
+
+def test_host_path_foreign_loader_order(tmp_path):
+    """A loader without the ``order`` attribute iterates however it wants;
+    the streaming frontier must stay fully conservative and the output
+    byte-identical."""
+    img = str(tmp_path / "img.tif")
+    make_raster(img, 96, 96, seed=23)
+    cfg = make_zonal_config(tmp_path, img)
+    want_paths = run_inference(dict(cfg))
+    with open_raster(want_paths["AERIAL_LABEL-COSIA"]) as src:
+        want = src.read(1)
+
+    # re-run with a foreign wrapper that hides .order and iterates in the
+    # original generation order
+    from flair_for_aigle_tpu.geo.geotiff import open_raster as _open
+    from flair_for_aigle_tpu.zonal.dataset import BatchedLoader
+    from flair_for_aigle_tpu.zonal.inference import (
+        inference_and_write,
+        init_outputs,
+        initialize_geometry_and_resolutions,
+        prep_dataset,
+    )
+    from flair_for_aigle_tpu.zonal.model_utils import (
+        build_inference_model,
+        compute_patch_sizes,
+    )
+
+    class ForeignLoader:
+        def __init__(self, inner):
+            self._inner = inner
+            self.dataset = inner.dataset
+            self.batch_size = inner.batch_size
+
+        def __len__(self):
+            return len(self._inner)
+
+        def __iter__(self):
+            return iter(self._inner)
+
+    config = initialize_geometry_and_resolutions(dict(cfg))
+    config["output_name"] = "test_zonal_foreign"
+    config["labels"] = ["AERIAL_LABEL-COSIA"]
+    config["labels_configs"] = {
+        "AERIAL_LABEL-COSIA": {"value_name": [f"c{i}" for i in range(5)]}
+    }
+    tiles = generate_patches_from_reference(config)
+    patch_sizes = compute_patch_sizes(config)
+    model, variables, _ = build_inference_model(config, patch_sizes,
+                                                config["batch_size"])
+    dataset = prep_dataset(config, tiles, patch_sizes)
+    loader = ForeignLoader(BatchedLoader(dataset, config["batch_size"]))
+    ref = open_raster(img)
+    output_files, temp_paths = init_outputs(config, ref)
+    inference_and_write(model, variables, loader, tiles, config,
+                        output_files, ref)
+    ref.close()
+    dataset.close()
+    with _open(temp_paths["AERIAL_LABEL-COSIA"]) as src:
+        got = src.read(1)
+    np.testing.assert_array_equal(want, got)
