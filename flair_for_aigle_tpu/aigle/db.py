@@ -89,9 +89,14 @@ class Database:
             # external driver being installed
             from flair_for_aigle_tpu.aigle import pgwire
 
+            if "user" not in kwargs:
+                # pgwire.connect requires user; a DSN without one would
+                # raise TypeError, escaping the DatabaseError contract
+                raise DatabaseError(
+                    f"Postgres DSN missing user: {dsn!r}")
             try:
                 return cls(pgwire.connect(**kwargs), "postgresql")
-            except (pgwire.DatabaseError, OSError) as e:
+            except (pgwire.DatabaseError, OSError, TypeError) as e:
                 raise DatabaseError(f"Postgres connection failed: {e}") from e
         raise DatabaseError(f"unsupported DSN scheme: {dsn!r}")
 

@@ -111,9 +111,10 @@ class Connection:
             if tag == b"E":
                 raise DatabaseError(_error_message(body))
             if tag != b"R":
-                # ParameterStatus/BackendKeyData may arrive post-auth; the
-                # constructor's drain loop handles them
-                if tag in (b"S", b"K"):
+                # ParameterStatus/BackendKeyData may arrive post-auth, and
+                # the server may send NoticeResponse at any time (e.g. a
+                # deprecation warning during startup); none of these end auth
+                if tag in (b"S", b"K", b"N"):
                     continue
                 raise DatabaseError(f"unexpected message {tag!r} during auth")
             (code,) = struct.unpack("!I", body[:4])

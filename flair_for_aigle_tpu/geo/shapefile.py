@@ -82,7 +82,11 @@ def _read_dbf(path: str) -> list[dict]:
             raw = f.read(rec_size)
             if len(raw) < rec_size or raw[:1] == b"\x1a":
                 break
-            if raw[:1] == b"*":  # deleted
+            if raw[:1] == b"*":
+                # soft-deleted row: keep a placeholder so the .shp record
+                # (which dbf deletion does NOT remove) stays index-aligned
+                # with its attributes; read_shapefile drops the pair
+                records.append(None)
                 continue
             rec, off = {}, 1
             for name, ftype, flen, fdec in fields:
@@ -169,7 +173,7 @@ def read_shapefile(path: str) -> tuple[list[dict], str | None]:
     attrs = _read_dbf(dbf) if os.path.isfile(dbf) else [{} for _ in geoms]
     records = []
     for geom, rec in zip(geoms, attrs):
-        if geom is None:
+        if geom is None or rec is None:  # null shape / dbf-deleted row
             continue
         records.append({"geometry": geom, **rec})
     return records, _crs_from_prj(base + ".prj")

@@ -373,9 +373,15 @@ def make_infer_step(model, output_type: str, margin_px: int, tile_size: int,
     norm_key = tuple(sorted(
         (m, _norm_spec_key(spec)) for m, spec in (device_norm or {}).items()
     ))
+    # key the mesh by its content (devices + axis names), not id(): DP runs
+    # build a fresh-but-identical Mesh per raster, and an id() key would miss
+    # on every raster — re-tracing + re-loading the executable over the
+    # tunnel each time (minutes) despite this cache existing to avoid that
+    mesh_key = None if mesh is None else (
+        tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
     cache_key = (id(model), output_type, margin_px, tile_size,
                  tuple(sorted(n_classes.items())), scale_num, scale_den,
-                 str(compute_dtype), norm_key, id(mesh))
+                 str(compute_dtype), norm_key, mesh_key)
     if cache_key in _STEP_CACHE:
         return _STEP_CACHE[cache_key]
     step = _make_infer_step(model, output_type, margin_px, tile_size,
@@ -635,6 +641,14 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
 
     img_h = {t: output_files[t].height for t in tasks}
     img_w = {t: output_files[t].width for t in tasks}
+    # The frontier/stripe machinery below indexes img_h/img_w via tasks[0]
+    # for every task; all output canvases share one geometry by construction
+    # (same image_bounds / out_res — zonal config defines one output grid),
+    # so differing sizes would silently encode pad rows for the shorter task.
+    assert all(img_h[t] == img_h[tasks[0]] and img_w[t] == img_w[tasks[0]]
+               for t in tasks), (
+        f"output canvases must share one geometry, got "
+        f"{[(t, img_h[t], img_w[t]) for t in tasks]}")
 
     # Striped async D2H: the shared-tunnel D2H runs at ~10-20 MB/s, so a
     # monolithic canvas fetch after the last batch costs seconds of dead

@@ -89,3 +89,29 @@ def test_geozone_cache_from_shp(tmp_path, monkeypatch):
         geozones_codes = "all"
 
     assert len(load_geozone_contour(CfgAll())) == 2
+
+
+def test_dbf_deleted_row_keeps_alignment(tmp_path):
+    # dbf soft-deletion does NOT remove the .shp record; skipping only the
+    # attribute row misaligned every later geometry with its attributes
+    # (ADVICE r3). Deleted rows must drop BOTH sides of the pair.
+    import struct
+
+    recs = [
+        {"geometry": geos.polygon(_square(0, 0, 10)), "name": "keep0"},
+        {"geometry": geos.polygon(_square(50, 0, 20)), "name": "drop1"},
+        {"geometry": geos.polygon(_square(100, 0, 30)), "name": "keep2"},
+    ]
+    path = str(tmp_path / "del.shp")
+    write_shapefile(path, recs)
+    dbf = path[:-4] + ".dbf"
+    with open(dbf, "r+b") as f:
+        head = f.read(32)
+        head_size = struct.unpack("<H", head[8:10])[0]
+        rec_size = struct.unpack("<H", head[10:12])[0]
+        f.seek(head_size + rec_size)  # record 1
+        f.write(b"*")
+    got, _ = read_shapefile(path)
+    assert [r["name"] for r in got] == ["keep0", "keep2"]
+    np.testing.assert_allclose([r["geometry"].area for r in got],
+                               [100.0, 900.0])
