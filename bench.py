@@ -155,27 +155,73 @@ def _probe_backend(timeout_s: int = 180) -> str | None:
         return f"backend init timed out after {timeout_s}s (tunnel down?)"
 
 
+LAST_GOOD_PATH = os.path.join(REPO, "BENCH_LAST_GOOD.json")
+
+
+def _save_last_good(result: dict) -> None:
+    """Persist the most recent successful run so a later tunnel-outage zero
+    still carries evidence (round-3 lesson: the outage zero erased the only
+    driver-captured number)."""
+    rec = dict(result)
+    rec["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        import subprocess
+
+        rec["git_commit"] = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        rec["git_commit"] = None
+    try:
+        with open(LAST_GOOD_PATH, "w") as f:
+            json.dump(rec, f, indent=1)
+    except OSError:
+        pass
+
+
+def _load_last_good() -> dict | None:
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def main():
     import logging
 
     logging.basicConfig(level=logging.WARNING)
 
-    # retry the probe for up to ~15 min: tunnel outages are transient
-    # (observed 4h one on 2026-08-17, but typically minutes) and a real
-    # late sample beats an attributable zero
-    err = None
-    for attempt in range(5):
+    # Retry the probe across a long horizon: observed outages run minutes to
+    # 4 h+ and a real late sample beats an attributable zero. Default 45 min
+    # (FLAIR_BENCH_PROBE_HORIZON_S overrides — set it to the driver's real
+    # budget minus the ~6 min warmup+timed cost if that budget is known).
+    horizon = float(os.environ.get("FLAIR_BENCH_PROBE_HORIZON_S", 2700))
+    probe_start = time.time()
+    err, probes = None, 0
+    while True:
         t0 = time.time()
         err = _probe_backend()
+        probes += 1
         if err is None:
             break
-        if attempt < 4 and time.time() - t0 < 120:
+        if time.time() - probe_start > horizon:
+            break
+        if time.time() - t0 < 120:
             time.sleep(120)  # fast failure: pace the retries
     if err:
+        detail = {"error": err, "probes": probes,
+                  "probe_horizon_s": horizon}
+        last_good = _load_last_good()
+        if last_good is not None:
+            # evidence of the most recent successful run (value, phases,
+            # timestamp, commit) so an outage never erases the scoreboard
+            detail["last_good"] = last_good
         print(json.dumps({
             "metric": "km2_per_hour_zonal_20cm_vhr_per_chip",
             "value": 0.0, "unit": "km2/h", "vs_baseline": 0.0,
-            "detail": {"error": err},
+            "detail": detail,
         }))
         return
 
@@ -229,7 +275,7 @@ def main():
 
     km2 = (KM2_SIDE_PX * RES / 1000.0) ** 2
     km2_per_hour = km2 / (elapsed / 3600.0)
-    print(json.dumps({
+    result = {
         "metric": "km2_per_hour_zonal_20cm_vhr_per_chip",
         "value": round(km2_per_hour, 2),
         "unit": "km2/h",
@@ -248,7 +294,9 @@ def main():
                 "finalize_wait_s blocks on device compute + tunnel D2H, so "
                 "d2h_effective_mbps is a lower bound on the tunnel rate",
         },
-    }))
+    }
+    _save_last_good(result)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
