@@ -50,6 +50,16 @@ from flair_for_aigle_tpu.zonal.model_utils import (
 )
 from flair_for_aigle_tpu.zonal.postprocess import convert
 from flair_for_aigle_tpu.zonal.slicing import generate_patches_from_reference
+from flair_for_aigle_tpu.zonal.stripes import (
+    LAST_TIMINGS,
+    StripeCodec,
+    StripeStream,
+    finalize_canvases,
+    future_frontiers,
+)
+
+# back-compat aliases (pre round-4 the codec lived here as a private class)
+_StripeCodec = StripeCodec
 
 logger = logging.getLogger(__name__)
 
@@ -650,16 +660,9 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         f"output canvases must share one geometry, got "
         f"{[(t, img_h[t], img_w[t]) for t in tasks]}")
 
-    # Striped async D2H: the shared-tunnel D2H runs at ~10-20 MB/s, so a
-    # monolithic canvas fetch after the last batch costs seconds of dead
-    # tail. Once every remaining tile's output window lies strictly inside
-    # [hi, lo), rows [0, hi) and [lo, H) are final (last-write-wins
-    # preserved) and can stream to the host while the device computes.
-    # The frontier is two-ended because the two paths process tiles in
-    # different orders: the host path keeps the reference's column-major
-    # generation order (only the top frontier ever moves, late), while the
-    # resident path re-orders bottom-up row-major (see below) so the bottom
-    # frontier sweeps the whole canvas during the run.
+    # Streamed canvas D2H (zonal/stripes.py): a two-ended row frontier
+    # encodes canvas rows the moment no remaining tile can write them, so
+    # the D2H overlaps compute instead of landing as a dead tail fetch.
     n_total = len(tiles)
     tile_tops = np.empty(n_total, np.int64)
     tile_lefts = np.empty(n_total, np.int64)
@@ -668,25 +671,7 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         tile_lefts[i] = int(round((row["left"] - image_bounds["left"])
                                   / out_res))
     tile_bots = np.minimum(tile_tops + th, img_h[tasks[0]])
-
-    def _future_frontiers(order: np.ndarray):
-        """future_min_top[c], future_max_bottom[c]: bounds of the output
-        rows any tile at processing position >= c can still write."""
-        n = len(order)
-        fmt = np.empty(n + 1, np.int64)
-        fmb = np.empty(n + 1, np.int64)
-        fmt[n] = img_h[tasks[0]]
-        fmb[n] = 0
-        for i in range(n - 1, -1, -1):
-            fmt[i] = min(tile_tops[order[i]], fmt[i + 1])
-            fmb[i] = max(tile_bots[order[i]], fmb[i + 1])
-        return fmt, fmb
-
-    fetched_top = 0                 # rows [0, fetched_top) encoded
-    fetched_bot = img_h[tasks[0]]   # rows [fetched_bot, H) encoded
-    stripes: Dict[str, list] = {t: [] for t in tasks}
     consumed = 0
-    stripe_min_rows = 512  # streamed-stripe quantum (one jit shape)
     # Stripe D2H codec: device-side RLE (class maps are piecewise-constant;
     # 4-1000x fewer bytes) with 5-bit packing as the incompressible
     # fallback, both computed on device so only the winner crosses the
@@ -698,32 +683,8 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
             and all(len(tk["class_names"]) <= 32
                     for tk in config["tasks"] if tk.get("active")))
     use_rle = pack and config.get("d2h_codec", "auto") == "auto"
-    codec = _StripeCodec(pack, use_rle, img_w)
-
-    def fetch_final_stripes(hi: int, lo: int) -> None:
-        """Encode any newly-final rows: [0, hi) from the top frontier and
-        [lo, H) from the bottom one (clamped so the ends never cross).
-
-        Encodes advance in fixed ``stripe_min_rows`` quanta: stripe heights
-        are jit shapes for the pack/RLE executables, and frontier advances
-        depend on poll timing — unquantized heights meant a nondeterministic
-        zoo of one-off compiles. With the quantum, every streamed stripe
-        shares ONE executable; the sub-quantum remainder lands at finalize."""
-        nonlocal fetched_top, fetched_bot
-        q = stripe_min_rows
-        hi = min(int(hi), fetched_bot) // q * q
-        while hi - fetched_top >= q:
-            for t in tasks:
-                stripes[t].append(codec.encode(canvases[t], t, fetched_top,
-                                               fetched_top + q))
-            fetched_top += q
-        lo = max(int(lo), fetched_top)
-        lo = fetched_bot - (fetched_bot - lo) // q * q
-        while fetched_bot - lo >= q:
-            for t in tasks:
-                stripes[t].append(codec.encode(canvases[t], t,
-                                               fetched_bot - q, fetched_bot))
-            fetched_bot -= q
+    codec = StripeCodec(pack, use_rle, img_w)
+    stream = StripeStream(tasks, img_h[tasks[0]], codec)
 
     def _out_offsets(indices, valid):
         offs = np.zeros((len(indices), 2), np.int32)
@@ -779,7 +740,8 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         # for any overlapping pair the reference-later tile (larger x, then
         # larger y) is still processed later here.
         order = np.lexsort((tile_lefts, -tile_tops))
-        fmt_res, fmb_res = _future_frontiers(order)
+        fmt_res, fmb_res = future_frontiers(order, tile_tops, tile_bots,
+                                            img_h[tasks[0]])
         batch_starts = list(range(0, n_total, bsz))
         # lowest raster row a batch's gathers touch (bottom-up reads make
         # rows [read_lo, height) resident; margins above the raster are the
@@ -845,7 +807,7 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
                 )
                 consumed += valid
                 c = min(consumed, n_total)
-                fetch_final_stripes(fmt_res[c], fmb_res[c])
+                stream.advance(canvases, fmt_res[c], fmb_res[c])
                 bi += 1
 
         timing = os.getenv("FLAIR_ZONAL_TIMING")
@@ -884,8 +846,7 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         codec.poll()
         t_disp += time.perf_counter() - t0
         t0 = time.perf_counter()
-        _finalize_canvases(tasks, canvases, stripes, fetched_top, fetched_bot,
-                           img_h, output_files, codec)
+        finalize_canvases(canvases, stream, img_h, output_files)
         LAST_TIMINGS.update(
             read_s=round(t_read, 3), put_s=round(t_put, 3),
             dispatch_s=round(t_disp, 3),
@@ -923,7 +884,8 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
         if list(dataloader.order) == host_order.tolist():
             order_used = host_order
     if order_used is not None:
-        fmt_host, fmb_host = _future_frontiers(order_used)
+        fmt_host, fmb_host = future_frontiers(order_used, tile_tops,
+                                              tile_bots, img_h[tasks[0]])
     else:
         fmt_host = np.zeros(n_total + 1, np.int64)
         fmb_host = np.full(n_total + 1, img_h[tasks[0]], np.int64)
@@ -959,227 +921,12 @@ def inference_and_write(model, variables, dataloader, tiles, config: Dict,
                                         canvases)
         consumed += int(valid)
         c = min(consumed, n_total)
-        fetch_final_stripes(fmt_host[c], fmb_host[c])
+        stream.advance(canvases, fmt_host[c], fmb_host[c])
 
-    _finalize_canvases(tasks, canvases, stripes, fetched_top, fetched_bot,
-                       img_h, output_files, codec)
+    finalize_canvases(canvases, stream, img_h, output_files)
     logger.info("[ok] canvases written")
 
 
-#: phase timings of the last inference_and_write call (seconds) — the bench
-#: publishes these so a tunnel-floored result is attributable
-LAST_TIMINGS: Dict[str, float] = {}
-
-
-class _StripeCodec:
-    """Tiered stripe D2H encoder/decoder for the on-device canvases.
-
-    Tiers per stripe (all encodings computed on device; only the chosen
-    one crosses the link at full size):
-
-    * ``rle-small`` — fixed-capacity RLE at 1 run / 256 px (~32x fewer
-      bytes than 5-bit packing); the buffer and run count ship async the
-      moment the stripe's rows are final, fully overlapped with compute.
-    * ``rle-mid`` — 1 run / 32 px capacity (~4x cut), fetched on demand
-      at finalize when the true run count overflows the small tier.
-    * ``pack5`` — 5-bit packed (1.6x cut), the incompressible fallback.
-    * ``raw`` — dense bytes (``pack_d2h: false`` or class_prob canvases).
-
-    RLE is lossless (run-split of the flattened row-major map); outputs
-    are bit-identical across tiers — see test_zonal pack/rle parity.
-
-    Probe-then-commit scheduling: the first stripes (<= MAX_PROBES) run
-    BOTH encodings and dual-ship — the packed bytes stream immediately
-    (so an incompressible map never waits on a verdict) while the RLE
-    run count crosses asynchronously. Tier decisions resolve
-    opportunistically during the stream (``poll`` checks the prefetched
-    run counts' ``is_ready`` without blocking); the first verdict commits
-    the whole run to ``rle`` (compressible: later stripes ship ~50 KB
-    each and skip the packed transfer) or ``pack5`` (noise-like maps,
-    e.g. argmax of random weights: the classic fully-overlapped path,
-    also chosen when no probe resolves in time). Stragglers are resolved
-    at finalize with ONE batched fetch (``plan_all`` — a per-stripe sync
-    pays a full tunnel RTT). Dual-ship waste is bounded at MAX_PROBES
-    packed stripes on compressible maps and ~150 KB of RLE buffers on
-    incompressible ones.
-    """
-
-    MAX_PROBES = 3
-
-    def __init__(self, pack: bool, use_rle: bool, img_w: Dict[str, int]):
-        self.pack = pack
-        self.img_w = img_w
-        self._pending: list = []  # encoded, tier not yet resolved
-        # probe -> rle | pack5: the run's compressibility is measured on
-        # its first stripes and the whole run commits to one codec
-        self.mode = "probe" if (pack and use_rle) else ("pack5" if pack
-                                                        else "raw")
-        self._probes = 0
-        if pack:
-            from flair_for_aigle_tpu.ops.pack import pack_labels5
-
-            self._pack_jit = jax.jit(pack_labels5)
-            self.w8 = {t: -(-w // 8) * 8 for t, w in img_w.items()}
-        if use_rle:
-            from flair_for_aigle_tpu.ops.rle import rle_encode5
-
-            self._rle_jit = jax.jit(rle_encode5, static_argnums=1)
-
-    def encode(self, canvas, t: str, a: int, b: int) -> dict:
-        """Encode canvas rows [a, b) and start their async D2H."""
-        rec = {"y0": a, "h": b - a}
-        if self.mode == "raw":
-            raw = canvas[:, a:b, : self.img_w[t]]
-            raw.copy_to_host_async()
-            rec["raw"] = raw
-            return rec
-        packed = self._pack_jit(canvas[:, a:b, : self.w8[t]])
-        rec["packed"] = packed
-        mode = self.mode
-        if mode == "probe" and self._probes >= self.MAX_PROBES:
-            # probes unresolved (slow link round-trip) — stop betting: the
-            # probes dual-shipped their packed bytes, so committing to
-            # pack5 keeps every stripe's transfer overlapped either way
-            mode = self.mode = "pack5"
-        if mode in ("probe", "rle"):
-            sl = canvas[:, a:b, : self.img_w[t]]
-            npx = sl.size
-            small = max(64, npx // 256)
-            mid = max(small * 2, npx // 32)
-            if mid * 5 < packed.nbytes:
-                runs_mid, n_runs = self._rle_jit(sl, mid)
-                runs_small = runs_mid[:small]
-                runs_small.copy_to_host_async()
-                n_runs.copy_to_host_async()
-                rec.update(small=runs_small, mid=runs_mid, n_runs=n_runs)
-                if mode == "probe":
-                    # dual-ship: the packed fallback streams NOW so an
-                    # incompressible map never waits on the probe verdict
-                    packed.copy_to_host_async()
-                    rec["packed_sent"] = True
-                    self._probes += 1
-                    LAST_TIMINGS["rle_probes"] = self._probes
-                self._pending.append(rec)
-                self.poll()
-                return rec
-        packed.copy_to_host_async()
-        return rec
-
-    def _decide(self, rec: dict, nr: int) -> None:
-        """Tier decision from the fetched run count; launches the chosen
-        tier's D2H and commits the run's codec mode on the first verdict."""
-        rec["nr"] = nr
-        if nr <= rec["small"].shape[0]:
-            rec["tier"] = "small"
-            compressible = True
-        elif nr <= rec["mid"].shape[0]:
-            rec["tier"] = "mid"
-            rec["mid"].copy_to_host_async()
-            compressible = True
-        else:
-            rec["tier"] = "packed"
-            if not rec.get("packed_sent"):
-                rec["packed"].copy_to_host_async()
-            compressible = False
-        if self.mode == "probe":
-            self.mode = "rle" if compressible else "pack5"
-            LAST_TIMINGS["d2h_codec_mode"] = self.mode
-
-    def poll(self) -> None:
-        """Opportunistic tier resolution during the stream: resolve any
-        stripe whose prefetched run count has landed (no blocking), so its
-        chosen transfer starts while compute continues."""
-        still = []
-        for rec in self._pending:
-            try:
-                ready = rec["n_runs"].is_ready()
-            except AttributeError:  # older jax / non-array
-                ready = False
-            if ready:
-                self._decide(rec, int(np.asarray(rec["n_runs"])))
-            else:
-                still.append(rec)
-        self._pending = still
-
-    def plan_all(self, recs: list) -> None:
-        """Phase A: pick every stripe's tier with ONE host round-trip
-        (the per-stripe run counts are stacked on device and fetched as a
-        single array — per-stripe ``np.asarray`` syncs each pay a full
-        tunnel RTT and serialized to seconds), then start every on-demand
-        fetch so all transfers are in flight before phase B blocks on the
-        first one."""
-        pend = [r for r in recs if "n_runs" in r and "tier" not in r]
-        LAST_TIMINGS["plan_pending"] = len(pend)
-        if not pend:
-            return
-        counts = np.asarray(jnp.stack([r["n_runs"] for r in pend]))
-        for rec, nr in zip(pend, counts):
-            self._decide(rec, int(nr))
-        self._pending = [r for r in self._pending if "tier" not in r]
-
-    def decode_into(self, rec: dict, dst) -> tuple[int, float]:
-        """Phase B: land the stripe into the canvas view; returns
-        (bytes fetched, seconds blocked on D2H)."""
-        tier = rec.get("tier")
-        if tier in ("small", "mid"):
-            from flair_for_aigle_tpu.ops.rle import rle_decode_into
-
-            t0 = time.perf_counter()
-            runs = np.asarray(rec[tier])
-            dt = time.perf_counter() - t0
-            rle_decode_into(runs, rec["nr"], dst)
-            # a probe stripe dual-shipped its packed fallback too
-            extra = rec["packed"].nbytes if rec.get("packed_sent") else 0
-            return runs.nbytes + 4 + extra, dt
-        if "packed" in rec:
-            from flair_for_aigle_tpu.ops.pack import unpack_labels5_into
-
-            t0 = time.perf_counter()
-            arr = np.asarray(rec["packed"])
-            dt = time.perf_counter() - t0
-            # native in-place unpack straight into the canvas slice —
-            # overlaps the remaining stripes' in-flight D2H
-            unpack_labels5_into(arr, dst)
-            extra = rec["small"].nbytes + 4 if "small" in rec else 0
-            return arr.nbytes + extra, dt
-        t0 = time.perf_counter()
-        arr = np.asarray(rec["raw"])
-        dt = time.perf_counter() - t0
-        dst[...] = arr
-        return arr.nbytes, dt
-
-
-def _finalize_canvases(tasks, canvases, stripes, fetched_top, fetched_bot,
-                       img_h, output_files, codec):
-    """Fetch any canvas rows not yet streamed and land every stripe."""
-    t_wait = t_unpack = t_write = 0.0
-    d2h_bytes = 0
-    for t in tasks:
-        if fetched_top < min(fetched_bot, img_h[t]):
-            stripes[t].append(
-                codec.encode(canvases[t], t, fetched_top,
-                             min(fetched_bot, img_h[t]))
-            )
-    t0 = time.perf_counter()
-    codec.plan_all([rec for t in tasks for rec in stripes[t]])
-    t_plan = time.perf_counter() - t0
-    for t in tasks:
-        w = output_files[t]
-        for rec in stripes[t]:
-            y0, rows = rec["y0"], rec["h"]
-            t0 = time.perf_counter()
-            nbytes, dt = codec.decode_into(rec, w.canvas[:, y0:y0 + rows, :])
-            d2h_bytes += nbytes
-            t_wait += dt
-            t_unpack += time.perf_counter() - t0 - dt
-        t0 = time.perf_counter()
-        w.close()
-        t_write += time.perf_counter() - t0
-    LAST_TIMINGS.update(
-        finalize_plan_s=round(t_plan, 3),
-        finalize_wait_s=round(t_wait, 3), finalize_unpack_s=round(t_unpack, 3),
-        finalize_tiff_write_s=round(t_write, 3), d2h_bytes=d2h_bytes,
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1294,69 +1041,6 @@ def run_inference(config_path: str) -> Dict[str, str]:
     return temp_paths
 
 
-def inference(model, variables, dataloader, tiles, config: Dict, raster_img):
-    """Legacy accumulate variant (reference inference.py:468-564): sums
-    int8-converted predictions into a full-raster numpy canvas with safety
-    clipping; returns (raster_logits, transform)."""
-    margin_px = config["margin"]
-    tile_size = config["img_pixels_detection"]
-    output_type = config["output_type"]
-    ref_res = config["reference_resolution"]
-    out_res = config.get("output_px_meters", ref_res)
-    needs_rescale = abs(ref_res - out_res) > 1e-6
-    image_bounds = config["image_bounds"]
-    transform = raster_img.transform
-
-    n_out = 1
-    for t in config["tasks"]:
-        if t.get("active"):
-            n_out = len(t["class_names"]) if output_type == "class_prob" else 1
-            break
-    img_height = int(round((image_bounds["top"] - image_bounds["bottom"]) / out_res))
-    img_width = int(round((image_bounds["right"] - image_bounds["left"]) / out_res))
-    raster_logits = np.zeros((n_out, img_height, img_width), dtype=np.int8)
-
-    task0 = config["labels"][0]
-    stride4 = bool(getattr(model, "config", {}).get("zonal_stride4_logits"))
-    for batch in dataloader:
-        valid = batch.pop("valid", None)
-        indices = np.asarray(batch["index"]).reshape(-1)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if isinstance(v, np.ndarray) and k != "index"}
-        logits_tasks, _ = model.apply(variables, jb)
-        lg = logits_tasks[task0]
-        if stride4:
-            # model emitted stride-4 NHWC (fused-epilogue contract); this
-            # legacy accumulate variant needs the full-res NCHW logits
-            from flair_for_aigle_tpu.models.upernet import (
-                resize_bilinear_align_corners,
-            )
-
-            lg = resize_bilinear_align_corners(
-                lg, lg.shape[-3] * 4, lg.shape[-2] * 4
-            )
-            lg = jnp.transpose(lg, (0, 3, 1, 2))
-        logits = np.asarray(lg)
-        for i, idx in enumerate(indices):
-            if valid is not None and i >= valid:
-                continue
-            row = tiles[int(idx)]
-            patch = logits[i, :, margin_px:tile_size - margin_px,
-                           margin_px:tile_size - margin_px]
-            if needs_rescale:
-                patch = resample_prediction(patch, ref_res / out_res)
-            pred = convert(patch, output_type).astype(np.int8)
-            left_px = int(round((row["left"] - image_bounds["left"]) / out_res))
-            top_px = int(round((image_bounds["top"] - row["top"]) / out_res))
-            c, h, w = pred.shape
-            x1, y1 = max(0, left_px), max(0, top_px)
-            x2 = min(img_width, left_px + w)
-            y2 = min(img_height, top_px + h)
-            if x2 <= x1 or y2 <= y1:
-                logger.warning("[!] Tile %s fully outside raster. Skipping.",
-                               row["id"])
-                continue
-            dx1, dy1 = x1 - left_px, y1 - top_px
-            raster_logits[:, y1:y2, x1:x2] += pred[:, dy1:dy1 + (y2 - y1),
-                                                   dx1:dx1 + (x2 - x1)]
-    return raster_logits, transform
+# Legacy accumulate variant moved to zonal/legacy.py (round-4 split);
+# re-exported here for API compatibility.
+from flair_for_aigle_tpu.zonal.legacy import inference  # noqa: E402

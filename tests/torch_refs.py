@@ -626,3 +626,147 @@ class TSwinUPerNet(nn.Module):
     def forward(self, x):
         feats = self.encoder.model(x)
         return self.segmentation_head(self.decoder(*feats))
+
+
+# ---------------------------------------------------------------------------
+# FLAIR_HUB_Model multimodal reference: fusion case 4 (mono swin + UTAE TS)
+# (reference flair_hub/models/flair_model.py:88-435 — forward, FusionHandler,
+# aux decoders; state-dict key-compatible with FlairHubModel's flax tree)
+# ---------------------------------------------------------------------------
+
+
+def _interp(x, size):
+    return F.interpolate(x, size=(size, size), mode="bilinear",
+                         align_corners=False)
+
+
+class _TDecoderWrapper(nn.Module):
+    """FLAIR_Monotemp(return_type='decoder'): seg_model.decoder +
+    seg_model.segmentation_head (upernet)."""
+
+    def __init__(self, out_ch, classes, pyramid=256, seg_channels=64):
+        super().__init__()
+        self.seg_model = nn.Module()
+        self.seg_model.decoder = TUPerNetDecoder(out_ch, pyramid=pyramid,
+                                                 seg_channels=seg_channels)
+        self.seg_model.segmentation_head = TUPerNetHead(seg_channels, classes)
+
+    def forward(self, *feats):
+        return self.seg_model.segmentation_head(self.seg_model.decoder(*feats))
+
+
+class TFlairHubModel(nn.Module):
+    """Multimodal FLAIR-HUB oracle: one mono swin encoder + one Sentinel
+    time series UTAE, full fusion (case 4), upernet main decoder, aux
+    decoders on both modalities. Mirrors the reference forward exactly:
+    fmaps order mono-then-multi, UTAE bottleneck paired with the mono
+    stride-4 stage, double logits interpolation (idempotent), dummy 0-ch
+    maps prepended to the fused pyramid."""
+
+    def __init__(self, mono_mod="AERIAL_RGBI", multi_mod="SENTINEL2_TS",
+                 tasks=("AERIAL_LABEL-COSIA",), nclasses=(19,),
+                 in_channels=3, ts_channels=3,
+                 embed_dim=32, depths=(2, 2, 2, 2), num_heads=(2, 4, 8, 16),
+                 ws=4, mt_widths=(32, 32, 64, 64), out_conv=(32,),
+                 n_head=4, d_model=32, d_k=4, str_conv_k=3, str_conv_s=1,
+                 str_conv_p=1, aux_mono=True, aux_multi=True,
+                 pyramid=256, seg_channels=64):
+        super().__init__()
+        self.mono_mod, self.multi_mod = mono_mod, multi_mod
+        self.tasks, self.nclasses = list(tasks), list(nclasses)
+        task_nclasses = sum(nclasses)
+        self.aux_mono, self.aux_multi = aux_mono, aux_multi
+
+        self.encoders = nn.ModuleDict()
+        mono_wrap = nn.Module()
+        mono_wrap.seg_model = nn.Module()
+        mono_wrap.seg_model.model = TSwinEncoder(
+            in_channels=in_channels, embed_dim=embed_dim, depths=depths,
+            num_heads=num_heads, ws=ws,
+        )
+        self.encoders[mono_mod] = mono_wrap
+        out_conv = list(out_conv)
+        if out_conv[-1] != task_nclasses:
+            out_conv = out_conv + [task_nclasses]
+        self.encoders[multi_mod] = TUTAE(
+            input_dim=ts_channels, encoder_widths=tuple(mt_widths),
+            decoder_widths=tuple(mt_widths), out_conv=tuple(out_conv),
+            str_conv_k=str_conv_k, str_conv_s=str_conv_s,
+            str_conv_p=str_conv_p, n_head=n_head, d_model=d_model, d_k=d_k,
+        )
+
+        mono_oc = [in_channels, 0,
+                   *(embed_dim * 2 ** i for i in range(len(depths)))]
+        stage_oc = mono_oc[2:]
+        reversed_dec = list(mt_widths)[::-1]
+        backbones = [a + b for a, b in zip(stage_oc, reversed_dec)]
+        self.fusion_handler = nn.Module()
+        self.fusion_handler.conv_f = nn.ModuleList(
+            [nn.Conv2d(cin, cout, 1) for cin, cout in zip(backbones, stage_oc)]
+        )
+
+        self.main_decoders = nn.ModuleDict({
+            t: _TDecoderWrapper(mono_oc, k, pyramid, seg_channels)
+            for t, k in zip(self.tasks, self.nclasses)
+        })
+        self.aux_decoders = nn.ModuleDict()
+        for t, k in zip(self.tasks, self.nclasses):
+            if aux_mono:
+                self.aux_decoders[f"{mono_mod}__{t}"] = _TDecoderWrapper(
+                    mono_oc, k, pyramid, seg_channels)
+            if aux_multi:
+                self.aux_decoders[f"{multi_mod}__{t}"] = nn.Conv2d(
+                    task_nclasses, k, 1)
+
+    def forward(self, batch):
+        img_size = batch[self.tasks[0]].shape[-1]
+        fmaps, logits_tasks, logits_aux = {}, {}, {}
+
+        feats = self.encoders[self.mono_mod].seg_model.model(
+            batch[self.mono_mod])
+        fmaps[self.mono_mod] = feats
+        if self.aux_mono:
+            for t in self.tasks:
+                logits_aux[f"aux_{self.mono_mod}_{t}"] = _interp(
+                    self.aux_decoders[f"{self.mono_mod}__{t}"](*feats),
+                    img_size)
+
+        logits, maps = self.encoders[self.multi_mod](
+            batch[self.multi_mod],
+            batch_positions=batch.get(self.multi_mod.replace("TS", "DATES")))
+        logits = _interp(logits, img_size)
+        logits_tasks[self.multi_mod] = _interp(logits, img_size)
+        fmaps[self.multi_mod] = maps
+        if self.aux_multi:
+            for t in self.tasks:
+                logits_aux[f"aux_{self.multi_mod}_{t}"] = _interp(
+                    self.aux_decoders[f"{self.multi_mod}__{t}"](logits),
+                    img_size)
+
+        # FusionHandler case 4 (reference flair_model.py:504-547)
+        target = fmaps[self.mono_mod]
+        target_shapes = [fm.shape for fm in target][2:]  # drop 0-ch dummies
+        dummy_maps = list(target[:2])
+        aligned = []
+        for mod in fmaps:
+            mod_fmaps = list(fmaps[mod])
+            if mod_fmaps[0].shape[1] == 0 or mod_fmaps[1].shape[1] == 0:
+                mod_fmaps = mod_fmaps[2:]
+            if len(mod_fmaps) != len(target_shapes):
+                mod_fmaps = [mod_fmaps[0]] * (len(target_shapes)
+                                              - len(mod_fmaps)) + mod_fmaps
+            aligned.append([
+                fm if fm.shape[-2:] == ts[-2:]
+                else F.interpolate(fm, size=ts[-2:], mode="bilinear",
+                                   align_corners=False)
+                for fm, ts in zip(mod_fmaps, target_shapes)
+            ])
+        stacked = [torch.cat(fms, dim=1) for fms in zip(*aligned)]
+        fused = [conv(fm) for conv, fm
+                 in zip(self.fusion_handler.conv_f, stacked)]
+        fused = dummy_maps + fused
+
+        for t in self.tasks:
+            logits_tasks[t] = _interp(self.main_decoders[t](*fused), img_size)
+        del logits_tasks[self.multi_mod]
+        return logits_tasks, logits_aux
