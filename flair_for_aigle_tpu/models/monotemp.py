@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 from flax import linen as nn
 
+from flair_for_aigle_tpu.models.convnext import ConvNeXtEncoder
 from flair_for_aigle_tpu.models.resnet import ResNetEncoder, _RESNET_SPECS
 from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
 from flair_for_aigle_tpu.models.unet import SegmentationHead, UnetDecoder
@@ -44,6 +45,29 @@ _SWIN_SIZES = {
 }
 _SWIN_NAME_RE = re.compile(r"swin_([a-z]+)_patch(\d+)_window(\d+)_(\d+)")
 
+# timm ConvNeXt v1 size table: size tag -> (dims, depths). Any
+# ``convnext_<size>`` (optionally with a timm pretrained-tag suffix like
+# ``.fb_in22k``, which names weights not architecture) resolves against it.
+_CONVNEXT_SIZES = {
+    # 'micro' is NOT a timm release: a test-scale tag (one block per stage)
+    # so CPU parity tests run at tractable cost, mirroring swin 'micro'.
+    "micro": ((16, 32, 64, 128), (1, 1, 1, 1)),
+    "tiny": ((96, 192, 384, 768), (3, 3, 9, 3)),
+    "small": ((96, 192, 384, 768), (3, 3, 27, 3)),
+    "base": ((128, 256, 512, 1024), (3, 3, 27, 3)),
+    "large": ((192, 384, 768, 1536), (3, 3, 27, 3)),
+    "xlarge": ((256, 512, 1024, 2048), (3, 3, 27, 3)),
+}
+_CONVNEXT_NAME_RE = re.compile(r"convnext_([a-z]+)(?:\..+)?")
+
+
+def convnext_spec(encoder_name: str):
+    """(dims, depths) for a timm convnext v1 name, else None."""
+    m = _CONVNEXT_NAME_RE.fullmatch(encoder_name)
+    if not m or m.group(1) not in _CONVNEXT_SIZES:
+        return None
+    return _CONVNEXT_SIZES[m.group(1)]
+
 
 def swin_spec(encoder_name: str):
     """(embed_dim, depths, heads, window, patch) for a timm swin v1 name,
@@ -64,9 +88,11 @@ def _strip_tu(encoder_name: str) -> str:
 def _unknown_encoder_error(encoder_name: str) -> ValueError:
     return ValueError(
         f"Unknown encoder '{encoder_name}'. Supported families: "
-        f"resnet ({', '.join(sorted(_RESNET_SPECS))}) and timm swin v1 "
+        f"resnet ({', '.join(sorted(_RESNET_SPECS))}), timm swin v1 "
         f"(any 'swin_<size>_patch<p>_window<w>_<res>' with size in "
-        f"{sorted(_SWIN_SIZES)}); a 'tu-' prefix is accepted and stripped."
+        f"{sorted(_SWIN_SIZES)}) and timm convnext v1 "
+        f"('convnext_<size>' with size in {sorted(_CONVNEXT_SIZES)}); "
+        f"a 'tu-' prefix is accepted and stripped."
     )
 
 
@@ -81,6 +107,11 @@ def encoder_out_channels(encoder_name: str, in_channels: int) -> tuple[int, ...]
             in_channels=in_channels, embed_dim=ed, depths=depths,
             num_heads=heads, window_size=win, patch_size=patch,
         ).out_channels
+    cspec = convnext_spec(encoder_name)
+    if cspec is not None:
+        dims, depths = cspec
+        return ConvNeXtEncoder(in_channels=in_channels, dims=dims,
+                               depths=depths).out_channels
     raise _unknown_encoder_error(encoder_name)
 
 
@@ -99,13 +130,21 @@ class TimmUniversalEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        ed, depths, heads, win, patch = swin_spec(_strip_tu(self.encoder_name))
-        return SwinTransformerEncoder(
-            in_channels=self.in_channels, embed_dim=ed, depths=depths,
-            num_heads=heads, window_size=win, patch_size=patch,
-            remat=self.remat,
-            attn_f32=self.attn_f32, attn_kernel=self.attn_kernel,
-            name="model",
+        name = _strip_tu(self.encoder_name)
+        spec = swin_spec(name)
+        if spec is not None:
+            ed, depths, heads, win, patch = spec
+            return SwinTransformerEncoder(
+                in_channels=self.in_channels, embed_dim=ed, depths=depths,
+                num_heads=heads, window_size=win, patch_size=patch,
+                remat=self.remat,
+                attn_f32=self.attn_f32, attn_kernel=self.attn_kernel,
+                name="model",
+            )(x, train=train)
+        dims, depths = convnext_spec(name)
+        return ConvNeXtEncoder(
+            in_channels=self.in_channels, dims=dims, depths=depths,
+            remat=self.remat, name="model",
         )(x, train=train)
 
 
@@ -116,7 +155,8 @@ def make_encoder(encoder_name: str, in_channels: int, name: str,
     encoder_name = _strip_tu(encoder_name)
     if encoder_name in _RESNET_SPECS:
         return ResNetEncoder(arch=encoder_name, in_channels=in_channels, name=name)
-    if swin_spec(encoder_name) is not None:
+    if swin_spec(encoder_name) is not None or \
+            convnext_spec(encoder_name) is not None:
         return TimmUniversalEncoder(encoder_name, in_channels, remat=remat,
                                     attn_f32=attn_f32, attn_kernel=attn_kernel,
                                     name=name)

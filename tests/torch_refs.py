@@ -770,3 +770,82 @@ class TFlairHubModel(nn.Module):
             logits_tasks[t] = _interp(self.main_decoders[t](*fused), img_size)
         del logits_tasks[self.multi_mod]
         return logits_tasks, logits_aux
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt v1 reference (timm 1.x structure + naming)
+# ---------------------------------------------------------------------------
+
+
+class TConvNeXtBlock(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(dim, dim, 7, 1, 3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(torch.full((dim,), 1e-6))
+
+    def forward(self, x):  # NCHW
+        y = self.conv_dw(x).permute(0, 2, 3, 1)
+        y = self.norm(y)
+        y = self.mlp.fc2(F.gelu(self.mlp.fc1(y)))
+        y = (self.gamma * y).permute(0, 3, 1, 2)
+        return x + y
+
+
+class _TLayerNorm2d(nn.LayerNorm):
+    def forward(self, x):  # NCHW
+        return super().forward(
+            x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+
+
+class TConvNeXtEncoder(nn.Module):
+    """timm-1.x-style convnext; smp TimmUniversalEncoder feature output."""
+
+    def __init__(self, in_channels=3, dims=(96, 192, 384, 768),
+                 depths=(3, 3, 9, 3)):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv2d(in_channels, dims[0], 4, 4),
+            _TLayerNorm2d(dims[0], eps=1e-6),
+        )
+        self.stages = nn.ModuleList()
+        for i, (dim, d) in enumerate(zip(dims, depths)):
+            stage = nn.Module()
+            if i > 0:
+                stage.downsample = nn.Sequential(
+                    _TLayerNorm2d(dims[i - 1], eps=1e-6),
+                    nn.Conv2d(dims[i - 1], dim, 2, 2),
+                )
+            stage.blocks = nn.ModuleList(
+                [TConvNeXtBlock(dim) for _ in range(d)])
+            self.stages.append(stage)
+
+    def forward(self, x):  # NCHW in, list of NCHW features out
+        B, C, H, W = x.shape
+        feats = [x, torch.zeros(B, 0, H // 2, W // 2)]
+        y = self.stem(x)
+        for stage in self.stages:
+            if hasattr(stage, "downsample"):
+                y = stage.downsample(y)
+            for blk in stage.blocks:
+                y = blk(y)
+            feats.append(y)
+        return feats
+
+
+class TConvNeXtUPerNet(nn.Module):
+    """smp-style container, key-compatible with SmpModel('convnext_*')."""
+
+    def __init__(self, in_channels=3, classes=19, dims=(96, 192, 384, 768),
+                 depths=(3, 3, 9, 3)):
+        super().__init__()
+        self.encoder = nn.Module()
+        self.encoder.model = TConvNeXtEncoder(in_channels, dims, depths)
+        self.decoder = TUPerNetDecoder((in_channels, 0, *dims))
+        self.segmentation_head = TUPerNetHead(64, classes)
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder.model(x)))
