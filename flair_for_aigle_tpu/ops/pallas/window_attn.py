@@ -34,16 +34,23 @@ multiple of 8 for every production geometry (144 for window 12) — rather
 than (ws, ws) raster tiles; window partition/reverse stay one XLA copy
 each.
 
-Backward (round 3): ``fused_window_attention`` carries a custom VJP — the
-forward runs the fused kernel and saves only the raw inputs; the backward
-recomputes through an XLA forward that replicates the kernel's numerics
-(f32 scores, compute-dtype probs) and differentiates it. Training thus
-gets the kernel's forward speed while XLA owns the gradient math; the
-flash-style recompute means no score tensor is ever stored as a residual.
+Backward (round 4): ``fused_window_attention`` carries a custom VJP whose
+backward is a second fused Pallas kernel (``_bwd_kernel_body``): it
+recomputes qkv/probs in VMEM flash-style (only the raw inputs are saved as
+residuals), runs the softmax/attention backward per head with f32
+accumulators, and ACCUMULATES every weight gradient (dWqkv, dbqkv, dWproj,
+dbproj, dbias) in f32 VMEM across the sequential TPU grid — so the
+backward's HBM traffic is one read of x and g and one write of dx plus the
+small weight grads, while the XLA autodiff of the same math materializes
+four (B*nW, nh, T, T) score-sized tensors (s, probs, dp, ds) per block.
+Widths whose f32 weight-grad buffers blow the VMEM budget (swin stage 4,
+C=1024) fall back to the round-3 XLA-recompute twin (``_xla_forward``),
+which stays bit-identical to the kernel forward's semantics.
 """
 
 from __future__ import annotations
 
+import os as _os
 from functools import lru_cache, partial
 
 import jax
@@ -247,6 +254,195 @@ def _kernel_call(x, wqkv, bqkv, wproj, bproj, bias, *, num_heads,
                 bias.astype(jnp.float32), mask)
 
 
+def _pick_bw_bwd(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
+    """Window-batch size for the backward kernel (0 = does not fit VMEM).
+
+    Fixed residents: Wqkv/Wproj (compute dtype), their f32 grads, bias +
+    its f32 grad, the 4-pattern mask bank; per-window: x/g/dx blocks
+    (double-buffered) and the f32 dqkv scratch."""
+    t_pad = -(-t // 128) * 128
+    fixed = (4 * c * c * itemsize            # Wqkv + Wproj resident
+             + 4 * c * c * 4                 # dWqkv + dWproj (f32)
+             + 2 * nh * t * t * 4            # bias + dbias (f32)
+             + 4 * t * t * 4                 # mask bank
+             + t * 3 * c * 4                 # dqkv scratch (f32)
+             + t * c * itemsize              # o scratch
+             + 2 * nh * t * t_pad * 4)       # live f32 score tiles
+    for bw in (8, 4, 2, 1):
+        if bnw % bw or bw * nh > 32:
+            continue
+        per = bw * t * 3 * c * itemsize * 2  # x + g + dx, double-buffered
+        if fixed + per <= 13 * (1 << 20):
+            return bw
+    return 0
+
+
+def _bwd_kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
+                     nwh: int, nww: int, dt):
+    hd = c // nh
+    scale = hd ** -0.5
+
+    def body(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, mask_ref,
+             dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref,
+             dqkv_scr, o_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+            dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+            dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+            dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+        for w in range(bw):
+            x = x_ref[w]
+            g = g_ref[w].astype(dt)
+            # recompute qkv exactly as the forward (f32 accum -> dt -> +b)
+            qkv = jnp.dot(
+                x, wqkv_ref[:], preferred_element_type=jnp.float32
+            ).astype(dt) + bqkv_ref[0]
+            if shifted:
+                widx = (i * bw + w) % (nwh * nww)
+                li = (widx // nww == nwh - 1).astype(jnp.int32)
+                lj = (widx % nww == nww - 1).astype(jnp.int32)
+                msel = mask_ref[li * 2 + lj]  # (T, T) f32
+            # dbproj = sum_t g ; do = g @ Wproj^T
+            dbproj_ref[0] += jnp.sum(g.astype(jnp.float32), axis=0)
+            do = lax.dot_general(
+                g, wproj_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)  # (T, C)
+            for h in range(nh):
+                q = qkv[:, h * hd:(h + 1) * hd]
+                k = qkv[:, c + h * hd:c + (h + 1) * hd]
+                v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+                s = lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                s = s + bias_ref[h]
+                if shifted:
+                    s = s + msel
+                p = jax.nn.softmax(s, axis=-1)          # f32 (T, T)
+                pc = p.astype(dt)
+                o_scr[:, h * hd:(h + 1) * hd] = lax.dot_general(
+                    pc, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+                do_h = do[:, h * hd:(h + 1) * hd]
+                # dv = pc^T @ do_h
+                dqkv_scr[:, 2 * c + h * hd:2 * c + (h + 1) * hd] = (
+                    lax.dot_general(pc, do_h, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
+                # softmax backward in f32
+                dp = lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                dbias_ref[h] += ds
+                dqkv_scr[:, h * hd:(h + 1) * hd] = lax.dot_general(
+                    ds, k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dqkv_scr[:, c + h * hd:c + (h + 1) * hd] = lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            # dWproj += o^T @ g ; o was rebuilt per head above
+            dwproj_ref[:] += lax.dot_general(
+                o_scr[:], g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqkv = dqkv_scr[:]
+            dbqkv_ref[0] += jnp.sum(dqkv, axis=0)
+            dwqkv_ref[:] += lax.dot_general(
+                x, dqkv.astype(dt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dx_ref[w] = lax.dot_general(
+                dqkv.astype(dt), wqkv_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+
+    return body
+
+
+@lru_cache(maxsize=None)
+def _build_bwd_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
+                    nwh: int, nww: int, in_dtype_str: str, interpret: bool):
+    dt = jnp.dtype(in_dtype_str)
+    itemsize = dt.itemsize
+    bw = _pick_bw_bwd(bnw, t, c, nh, itemsize)
+    if bw == 0:
+        return None
+    body = _bwd_kernel_body(nh, t, c, bw, shifted, nwh, nww, dt)
+    rep = lambda i: (0, 0)
+    rep3 = lambda i: (0, 0, 0)
+    call = pl.pallas_call(
+        body,
+        grid=(bnw // bw,),
+        in_specs=[
+            pl.BlockSpec((bw, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((bw, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # g
+            pl.BlockSpec((c, 3 * c), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, t, t), rep3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, t, t), rep3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bw, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # dx
+            pl.BlockSpec((c, 3 * c), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, t, t), rep3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bnw, t, c), dt),
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((nh, t, t), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t, 3 * c), jnp.float32),  # dqkv
+            pltpu.VMEM((t, c), dt),               # o (pre-projection)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=bnw * (10 * nh * t * t * (c // nh) + 6 * t * c * 4 * c),
+            bytes_accessed=bnw * t * 3 * c * itemsize,
+            transcendentals=bnw * nh * t * t,
+        ),
+        interpret=interpret,
+    )
+    return call
+
+
+def _kernel_bwd(res, g, *, num_heads, window_size, shift_size, grid_hw,
+                interpret):
+    """Pallas backward; returns None when the geometry doesn't fit VMEM."""
+    x, wqkv, bqkv, wproj, bproj, bias = res
+    bnw, t, c = x.shape
+    shifted = shift_size > 0
+    call = _build_bwd_call(bnw, t, c, num_heads, shifted,
+                           grid_hw[0], grid_hw[1], str(x.dtype), interpret)
+    if call is None:
+        return None
+    dt = x.dtype
+    mask = jnp.asarray(
+        shift_mask_bank(window_size, shift_size if shifted else 1))
+    dx, dwqkv, dbqkv, dwproj, dbproj, dbias = call(
+        x, g.astype(dt), wqkv.astype(dt), bqkv.reshape(1, 3 * c).astype(dt),
+        wproj.astype(dt), bias.astype(jnp.float32), mask)
+    return (dx,
+            dwqkv.astype(wqkv.dtype),
+            dbqkv.reshape(3 * c).astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype),
+            dbproj.reshape(c).astype(bproj.dtype),
+            dbias.astype(bias.dtype))
+
+
 @lru_cache(maxsize=None)
 def _vjp_fn(num_heads, window_size, shift_size, nwh, nww, out_dtype_str,
             interpret):
@@ -266,6 +462,17 @@ def _vjp_fn(num_heads, window_size, shift_size, nwh, nww, out_dtype_str,
         )
 
     def f_bwd(res, g):
+        # FLAIR_ATTN_BWD=xla opts out of the Pallas backward (falls back to
+        # the XLA-recompute twin); read at trace time, not import time
+        if _os.getenv("FLAIR_ATTN_BWD", "kernel") != "xla":
+            grads = _kernel_bwd(res, g, num_heads=num_heads,
+                                window_size=window_size,
+                                shift_size=shift_size,
+                                grid_hw=(nwh, nww), interpret=interpret)
+            if grads is not None:
+                return grads
+        # geometry too wide for the backward kernel's VMEM budget
+        # (swin stage 4): XLA-recompute twin, numerics-matched
         ref = partial(_xla_forward, shifted=shift_size > 0, **statics)
         _, pullback = jax.vjp(ref, *res)
         return pullback(g)
