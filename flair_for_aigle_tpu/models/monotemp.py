@@ -24,6 +24,10 @@ from dataclasses import dataclass
 from flax import linen as nn
 
 from flair_for_aigle_tpu.models.convnext import ConvNeXtEncoder
+from flair_for_aigle_tpu.models.efficientnet import (
+    EfficientNetEncoder,
+    efficientnet_spec,
+)
 from flair_for_aigle_tpu.models.resnet import ResNetEncoder, _RESNET_SPECS
 from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
 from flair_for_aigle_tpu.models.unet import SegmentationHead, UnetDecoder
@@ -60,6 +64,20 @@ _CONVNEXT_SIZES = {
 }
 _CONVNEXT_NAME_RE = re.compile(r"convnext_([a-z]+)(?:\..+)?")
 
+# timm EfficientNet (MBConv): ``efficientnet_b{0..7}`` plus the test-scale
+# 'micro' tag; pretrained-tag suffixes (``.ra_in1k`` etc.) name weights,
+# not architecture, and are accepted.
+_EFFNET_NAME_RE = re.compile(r"efficientnet_(b\d|micro)(?:\..+)?")
+
+
+def effnet_spec(encoder_name: str):
+    """(stem_channels, stage specs) for a timm efficientnet name, else
+    None."""
+    m = _EFFNET_NAME_RE.fullmatch(encoder_name)
+    if not m:
+        return None
+    return efficientnet_spec(m.group(1))
+
 
 def convnext_spec(encoder_name: str):
     """(dims, depths) for a timm convnext v1 name, else None."""
@@ -90,8 +108,9 @@ def _unknown_encoder_error(encoder_name: str) -> ValueError:
         f"Unknown encoder '{encoder_name}'. Supported families: "
         f"resnet ({', '.join(sorted(_RESNET_SPECS))}), timm swin v1 "
         f"(any 'swin_<size>_patch<p>_window<w>_<res>' with size in "
-        f"{sorted(_SWIN_SIZES)}) and timm convnext v1 "
-        f"('convnext_<size>' with size in {sorted(_CONVNEXT_SIZES)}); "
+        f"{sorted(_SWIN_SIZES)}), timm convnext v1 "
+        f"('convnext_<size>' with size in {sorted(_CONVNEXT_SIZES)}) and "
+        f"timm efficientnet ('efficientnet_b0'..'b7'); "
         f"a 'tu-' prefix is accepted and stripped."
     )
 
@@ -112,6 +131,12 @@ def encoder_out_channels(encoder_name: str, in_channels: int) -> tuple[int, ...]
         dims, depths = cspec
         return ConvNeXtEncoder(in_channels=in_channels, dims=dims,
                                depths=depths).out_channels
+    espec = effnet_spec(encoder_name)
+    if espec is not None:
+        stem, stages = espec
+        return EfficientNetEncoder(in_channels=in_channels,
+                                   stem_channels=stem,
+                                   stages=stages).out_channels
     raise _unknown_encoder_error(encoder_name)
 
 
@@ -141,9 +166,16 @@ class TimmUniversalEncoder(nn.Module):
                 attn_f32=self.attn_f32, attn_kernel=self.attn_kernel,
                 name="model",
             )(x, train=train)
-        dims, depths = convnext_spec(name)
-        return ConvNeXtEncoder(
-            in_channels=self.in_channels, dims=dims, depths=depths,
+        cspec = convnext_spec(name)
+        if cspec is not None:
+            dims, depths = cspec
+            return ConvNeXtEncoder(
+                in_channels=self.in_channels, dims=dims, depths=depths,
+                remat=self.remat, name="model",
+            )(x, train=train)
+        stem, stages = effnet_spec(name)
+        return EfficientNetEncoder(
+            in_channels=self.in_channels, stem_channels=stem, stages=stages,
             remat=self.remat, name="model",
         )(x, train=train)
 
@@ -156,7 +188,8 @@ def make_encoder(encoder_name: str, in_channels: int, name: str,
     if encoder_name in _RESNET_SPECS:
         return ResNetEncoder(arch=encoder_name, in_channels=in_channels, name=name)
     if swin_spec(encoder_name) is not None or \
-            convnext_spec(encoder_name) is not None:
+            convnext_spec(encoder_name) is not None or \
+            effnet_spec(encoder_name) is not None:
         return TimmUniversalEncoder(encoder_name, in_channels, remat=remat,
                                     attn_f32=attn_f32, attn_kernel=attn_kernel,
                                     name=name)

@@ -849,3 +849,112 @@ class TConvNeXtUPerNet(nn.Module):
 
     def forward(self, x):
         return self.segmentation_head(self.decoder(*self.encoder.model(x)))
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet (MBConv) reference (timm gen_efficientnet structure + naming)
+# ---------------------------------------------------------------------------
+
+
+class TSqueezeExcite(nn.Module):
+    def __init__(self, chs, rd):
+        super().__init__()
+        self.conv_reduce = nn.Conv2d(chs, rd, 1)
+        self.conv_expand = nn.Conv2d(rd, chs, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(F.silu(self.conv_reduce(s)))
+        return x * torch.sigmoid(s)
+
+
+class TDsBlock(nn.Module):
+    """timm DepthwiseSeparableConv (expansion 1)."""
+
+    def __init__(self, cin, cout, k, s):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(cin, cin, k, s, k // 2, groups=cin, bias=False)
+        self.bn1 = nn.BatchNorm2d(cin)
+        self.se = TSqueezeExcite(cin, max(1, round(cin * 0.25)))
+        self.conv_pw = nn.Conv2d(cin, cout, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.residual = s == 1 and cin == cout
+
+    def forward(self, x):
+        y = F.silu(self.bn1(self.conv_dw(x)))
+        y = self.bn2(self.conv_pw(self.se(y)))
+        return y + x if self.residual else y
+
+
+class TIrBlock(nn.Module):
+    """timm InvertedResidual (MBConv)."""
+
+    def __init__(self, cin, cout, k, s, e):
+        super().__init__()
+        mid = cin * e
+        self.conv_pw = nn.Conv2d(cin, mid, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(mid)
+        self.conv_dw = nn.Conv2d(mid, mid, k, s, k // 2, groups=mid, bias=False)
+        self.bn2 = nn.BatchNorm2d(mid)
+        self.se = TSqueezeExcite(mid, max(1, round(cin * 0.25)))
+        self.conv_pwl = nn.Conv2d(mid, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.residual = s == 1 and cin == cout
+
+    def forward(self, x):
+        y = F.silu(self.bn1(self.conv_pw(x)))
+        y = F.silu(self.bn2(self.conv_dw(y)))
+        y = self.bn3(self.conv_pwl(self.se(y)))
+        return y + x if self.residual else y
+
+
+class TEfficientNetEncoder(nn.Module):
+    """timm-layout EfficientNet; smp TimmUniversalEncoder feature output
+    (real stride-2 feature, no zero-channel dummy)."""
+
+    def __init__(self, in_channels, stem, stages):
+        super().__init__()
+        self.conv_stem = nn.Conv2d(in_channels, stem, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(stem)
+        self.blocks = nn.ModuleList()
+        taps, red = {}, 2
+        cin = stem
+        for i, (k, s, e, c, r) in enumerate(stages):
+            stage = nn.ModuleList()
+            for j in range(r):
+                stride = s if j == 0 else 1
+                if e == 1:
+                    stage.append(TDsBlock(cin, c, k, stride))
+                else:
+                    stage.append(TIrBlock(cin, c, k, stride, e))
+                cin = c
+            self.blocks.append(stage)
+            red *= s
+            taps[red] = i
+        self.taps = sorted(taps.values())
+
+    def forward(self, x):
+        feats = [x]
+        y = F.silu(self.bn1(self.conv_stem(x)))
+        for i, stage in enumerate(self.blocks):
+            for blk in stage:
+                y = blk(y)
+            if i in self.taps:
+                feats.append(y)
+        return feats
+
+
+class TEfficientNetUnet(nn.Module):
+    """smp-style container, key-compatible with SmpModel('efficientnet_*')."""
+
+    def __init__(self, in_channels, classes, stem, stages):
+        super().__init__()
+        self.encoder = nn.Module()
+        self.encoder.model = TEfficientNetEncoder(in_channels, stem, stages)
+        taps = self.encoder.model.taps
+        chs = (in_channels, *(stages[i][3] for i in taps))
+        self.decoder = TUnetDecoder(chs)
+        self.segmentation_head = TSegmentationHead(16, classes)
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder.model(x)))
