@@ -28,6 +28,7 @@ from flair_for_aigle_tpu.models.efficientnet import (
     EfficientNetEncoder,
     efficientnet_spec,
 )
+from flair_for_aigle_tpu.models.fpn import FPNDecoder, FPNSegmentationHead
 from flair_for_aigle_tpu.models.resnet import ResNetEncoder, _RESNET_SPECS
 from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
 from flair_for_aigle_tpu.models.unet import SegmentationHead, UnetDecoder
@@ -220,6 +221,10 @@ class MonotempDecoder(nn.Module):
                 self.classes, upsampling=self.head_upsampling,
                 name="segmentation_head",
             )(y)
+        if self.decoder_name == "fpn":
+            y = FPNDecoder(name="decoder")(*features, train=train)
+            return FPNSegmentationHead(
+                self.classes, name="segmentation_head")(y)
         raise ValueError(f"Unknown decoder: {self.decoder_name}")
 
 
@@ -256,6 +261,9 @@ class SmpModel(nn.Module):
         if spec.decoder_name == "upernet":
             y = UPerNetDecoder(name="decoder")(*feats, train=train)
             return UPerNetSegmentationHead(self.classes, name="segmentation_head")(y)
+        if spec.decoder_name == "fpn":
+            y = FPNDecoder(name="decoder")(*feats, train=train)
+            return FPNSegmentationHead(self.classes, name="segmentation_head")(y)
         raise ValueError(f"Unknown decoder: {spec.decoder_name}")
 
 

@@ -958,3 +958,91 @@ class TEfficientNetUnet(nn.Module):
 
     def forward(self, x):
         return self.segmentation_head(self.decoder(*self.encoder.model(x)))
+
+
+# ---------------------------------------------------------------------------
+# FPN decoder reference (smp FPNDecoder structure + naming)
+# ---------------------------------------------------------------------------
+
+
+class TConv3x3GNReLU(nn.Module):
+    def __init__(self, cin, cout, upsample=False):
+        super().__init__()
+        self.upsample = upsample
+        self.block = nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1, bias=False),
+            nn.GroupNorm(32, cout),
+            nn.ReLU(inplace=True),
+        )
+
+    def forward(self, x):
+        x = self.block(x)
+        if self.upsample:
+            x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                              align_corners=True)
+        return x
+
+
+class TFPNSegBlock(nn.Module):
+    def __init__(self, cin, cout, n_upsamples=0):
+        super().__init__()
+        blocks = [TConv3x3GNReLU(cin, cout, upsample=bool(n_upsamples))]
+        for _ in range(1, n_upsamples):
+            blocks.append(TConv3x3GNReLU(cout, cout, upsample=True))
+        self.block = nn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.block(x)
+
+
+class TFPNLateral(nn.Module):
+    def __init__(self, pyramid, cskip):
+        super().__init__()
+        self.skip_conv = nn.Conv2d(cskip, pyramid, 1)
+
+    def forward(self, x, skip):
+        return F.interpolate(x, scale_factor=2, mode="nearest") \
+            + self.skip_conv(skip)
+
+
+class TFPNDecoder(nn.Module):
+    def __init__(self, encoder_channels, pyramid=256, seg=128):
+        super().__init__()
+        c5, c4, c3, c2 = encoder_channels[::-1][:4]
+        self.p5 = nn.Conv2d(c5, pyramid, 1)
+        self.p4 = TFPNLateral(pyramid, c4)
+        self.p3 = TFPNLateral(pyramid, c3)
+        self.p2 = TFPNLateral(pyramid, c2)
+        self.seg_blocks = nn.ModuleList(
+            [TFPNSegBlock(pyramid, seg, n) for n in (3, 2, 1, 0)])
+        self.dropout = nn.Dropout2d(0.2)
+
+    def forward(self, *features):
+        c2, c3, c4, c5 = features[-4:]
+        p5 = self.p5(c5)
+        p4 = self.p4(p5, c4)
+        p3 = self.p3(p4, c3)
+        p2 = self.p2(p3, c2)
+        x = sum(b(p) for b, p in zip(self.seg_blocks, (p5, p4, p3, p2)))
+        return self.dropout(x)
+
+
+class TFPNHead(nn.Sequential):
+    def __init__(self, cin, classes, upsampling=4):
+        super().__init__(
+            nn.Conv2d(cin, classes, 1),
+            nn.UpsamplingBilinear2d(scale_factor=upsampling),
+        )
+
+
+class TResNet34FPN(nn.Module):
+    """smp ``FPN(encoder_name='resnet34')`` equivalent."""
+
+    def __init__(self, in_channels=3, classes=19):
+        super().__init__()
+        self.encoder = TResNet34Encoder(in_channels)
+        self.decoder = TFPNDecoder(self.encoder.out_channels)
+        self.segmentation_head = TFPNHead(128, classes)
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder(x)))
