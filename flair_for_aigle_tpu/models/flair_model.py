@@ -249,6 +249,9 @@ class FlairHubModel(nn.Module):
                 attn_f32=cfg["models"]["monotemp_model"].get("attn_f32", True),
                 attn_kernel=cfg["models"]["monotemp_model"].get(
                     "attn_kernel", "auto"),
+                # smp DeepLabV3Plus dilates its encoder to output_stride 16
+                output_stride=(16 if plan["spec"].decoder_name
+                               == "deeplabv3plus" else 32),
             )
             fmaps[mod] = enc(self._nchw_to_nhwc(batch[mod]), train=train)
             if plan["aux_losses"].get(mod):

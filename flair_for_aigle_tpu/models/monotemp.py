@@ -28,6 +28,10 @@ from flair_for_aigle_tpu.models.efficientnet import (
     EfficientNetEncoder,
     efficientnet_spec,
 )
+from flair_for_aigle_tpu.models.deeplab import (
+    DeepLabSegmentationHead,
+    DeepLabV3PlusDecoder,
+)
 from flair_for_aigle_tpu.models.fpn import FPNDecoder, FPNSegmentationHead
 from flair_for_aigle_tpu.models.resnet import ResNetEncoder, _RESNET_SPECS
 from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
@@ -183,14 +187,26 @@ class TimmUniversalEncoder(nn.Module):
 
 def make_encoder(encoder_name: str, in_channels: int, name: str,
                  remat: bool = False, attn_f32: bool = True,
-                 attn_kernel: str = "auto") -> nn.Module:
-    """Encoder module rooted at ``name`` with smp-compatible internal naming."""
+                 attn_kernel: str = "auto",
+                 output_stride: int = 32) -> nn.Module:
+    """Encoder module rooted at ``name`` with smp-compatible internal naming.
+
+    ``output_stride`` < 32 requests smp's make_dilated (DeepLabV3+ needs
+    16/8); only the resnet family supports it — timm transformer/MBConv
+    encoders raise like smp's TimmUniversalEncoder does.
+    """
     encoder_name = _strip_tu(encoder_name)
     if encoder_name in _RESNET_SPECS:
-        return ResNetEncoder(arch=encoder_name, in_channels=in_channels, name=name)
+        return ResNetEncoder(arch=encoder_name, in_channels=in_channels,
+                             output_stride=output_stride, name=name)
     if swin_spec(encoder_name) is not None or \
             convnext_spec(encoder_name) is not None or \
             effnet_spec(encoder_name) is not None:
+        if output_stride != 32:
+            raise ValueError(
+                f"encoder '{encoder_name}' does not support dilated mode "
+                f"(output_stride={output_stride}); DeepLabV3+ needs a "
+                f"resnet encoder")
         return TimmUniversalEncoder(encoder_name, in_channels, remat=remat,
                                     attn_f32=attn_f32, attn_kernel=attn_kernel,
                                     name=name)
@@ -225,6 +241,10 @@ class MonotempDecoder(nn.Module):
             y = FPNDecoder(name="decoder")(*features, train=train)
             return FPNSegmentationHead(
                 self.classes, name="segmentation_head")(y)
+        if self.decoder_name == "deeplabv3plus":
+            y = DeepLabV3PlusDecoder(name="decoder")(*features, train=train)
+            return DeepLabSegmentationHead(
+                self.classes, name="segmentation_head")(y)
         raise ValueError(f"Unknown decoder: {self.decoder_name}")
 
 
@@ -252,7 +272,10 @@ class SmpModel(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         spec = MonotempSpec.from_arch(self.arch)
-        feats = make_encoder(spec.encoder_name, self.in_channels, name="encoder")(
+        # smp DeepLabV3Plus dilates the encoder to output_stride 16
+        os_ = 16 if spec.decoder_name == "deeplabv3plus" else 32
+        feats = make_encoder(spec.encoder_name, self.in_channels,
+                             name="encoder", output_stride=os_)(
             x, train=train
         )
         if spec.decoder_name == "unet":
@@ -264,6 +287,10 @@ class SmpModel(nn.Module):
         if spec.decoder_name == "fpn":
             y = FPNDecoder(name="decoder")(*feats, train=train)
             return FPNSegmentationHead(self.classes, name="segmentation_head")(y)
+        if spec.decoder_name == "deeplabv3plus":
+            y = DeepLabV3PlusDecoder(name="decoder")(*feats, train=train)
+            return DeepLabSegmentationHead(
+                self.classes, name="segmentation_head")(y)
         raise ValueError(f"Unknown decoder: {spec.decoder_name}")
 
 

@@ -26,14 +26,20 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     use_downsample: bool = False
+    # smp make_dilated/replace_strides_with_dilation: every conv in a
+    # dilated stage has stride 1 and every 3x3 conv dilation=padding=rate
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = TorchConv(self.features, 3, self.stride, 1, use_bias=False, name="conv1")(x)
+        d = self.dilation
+        out = TorchConv(self.features, 3, self.stride, d, dilation=d,
+                        use_bias=False, name="conv1")(x)
         out = TorchBatchNorm(name="bn1")(out, use_running_average=not train)
         out = nn.relu(out)
-        out = TorchConv(self.features, 3, 1, 1, use_bias=False, name="conv2")(out)
+        out = TorchConv(self.features, 3, 1, d, dilation=d,
+                        use_bias=False, name="conv2")(out)
         out = TorchBatchNorm(name="bn2")(out, use_running_average=not train)
         if self.use_downsample:
             identity = TorchConv(
@@ -50,13 +56,16 @@ class Bottleneck(nn.Module):
     stride: int = 1
     use_downsample: bool = False
     expansion: int = 4
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
+        d = self.dilation
         out = TorchConv(self.features, 1, 1, 0, use_bias=False, name="conv1")(x)
         out = nn.relu(TorchBatchNorm(name="bn1")(out, use_running_average=not train))
-        out = TorchConv(self.features, 3, self.stride, 1, use_bias=False, name="conv2")(out)
+        out = TorchConv(self.features, 3, self.stride, d, dilation=d,
+                        use_bias=False, name="conv2")(out)
         out = nn.relu(TorchBatchNorm(name="bn2")(out, use_running_average=not train))
         out = TorchConv(self.features * self.expansion, 1, 1, 0, use_bias=False, name="conv3")(out)
         out = TorchBatchNorm(name="bn3")(out, use_running_average=not train)
@@ -84,6 +93,10 @@ class ResNetEncoder(nn.Module):
 
     arch: str = "resnet34"
     in_channels: int = 3
+    # smp make_dilated: 16 dilates layer4 (rate 2), 8 dilates layer3+4
+    # (rates 2, 4); params are identical to the stride-32 encoder, so the
+    # same checkpoints load (DeepLabV3+ requires 16 or 8)
+    output_stride: int = 32
 
     @property
     def out_channels(self) -> tuple[int, ...]:
@@ -93,6 +106,14 @@ class ResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> list[jax.Array]:
         block_cls, depths, exp = _RESNET_SPECS[self.arch]
+        assert self.output_stride in (8, 16, 32), self.output_stride
+        # per-layer (stride of first block, dilation of every block)
+        layer_sd = {li: (1 if li == 0 else 2, 1) for li in range(4)}
+        if self.output_stride <= 16:
+            layer_sd[3] = (1, 2)
+        if self.output_stride == 8:
+            layer_sd[2] = (1, 2)
+            layer_sd[3] = (1, 4)
         features = [x]
         out = TorchConv(64, 7, 2, 3, use_bias=False, name="conv1")(x)
         out = nn.relu(TorchBatchNorm(name="bn1")(out, use_running_average=not train))
@@ -100,7 +121,7 @@ class ResNetEncoder(nn.Module):
         out = max_pool2d(out, 3, 2, 1)
         widths = (64, 128, 256, 512)
         for li, (w, d) in enumerate(zip(widths, depths)):
-            stride = 1 if li == 0 else 2
+            stride, dil = layer_sd[li]
             for bi in range(d):
                 in_ch = out.shape[-1]
                 out_ch = w * exp
@@ -109,6 +130,7 @@ class ResNetEncoder(nn.Module):
                     features=w,
                     stride=stride if bi == 0 else 1,
                     use_downsample=use_ds,
+                    dilation=dil,
                     name=f"layer{li + 1}.{bi}",
                 )(out, train=train)
             features.append(out)

@@ -1046,3 +1046,105 @@ class TResNet34FPN(nn.Module):
 
     def forward(self, x):
         return self.segmentation_head(self.decoder(*self.encoder(x)))
+
+
+# ---------------------------------------------------------------------------
+# DeepLabV3+ decoder reference (smp structure + naming, dilated resnet)
+# ---------------------------------------------------------------------------
+
+
+class TSeparableConv2d(nn.Sequential):
+    def __init__(self, cin, cout, k=3, padding=1, dilation=1, bias=True):
+        super().__init__(
+            nn.Conv2d(cin, cin, k, 1, padding, dilation, groups=cin,
+                      bias=False),
+            nn.Conv2d(cin, cout, 1, bias=bias),
+        )
+
+
+class TASPPPooling(nn.Sequential):
+    """smp ASPPPooling: a Sequential appended to convs, so its conv/BN get
+    torch keys convs.4.1 / convs.4.2 (index 0 is the param-less pool)."""
+
+    def __init__(self, cin, cout):
+        super().__init__(
+            nn.AdaptiveAvgPool2d(1),
+            nn.Conv2d(cin, cout, 1, bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(),
+        )
+
+    def forward(self, x):
+        size = x.shape[-2:]
+        for mod in self:
+            x = mod(x)
+        return F.interpolate(x, size=size, mode="bilinear",
+                             align_corners=False)
+
+
+class TASPP(nn.Module):
+    def __init__(self, cin, cout=256, rates=(12, 24, 36)):
+        super().__init__()
+        mods = [nn.Sequential(nn.Conv2d(cin, cout, 1, bias=False),
+                              nn.BatchNorm2d(cout), nn.ReLU())]
+        for r in rates:
+            mods.append(nn.Sequential(
+                TSeparableConv2d(cin, cout, 3, padding=r, dilation=r,
+                                 bias=False),
+                nn.BatchNorm2d(cout), nn.ReLU()))
+        mods.append(TASPPPooling(cin, cout))
+        self.convs = nn.ModuleList(mods)
+        self.project = nn.Sequential(
+            nn.Conv2d(5 * cout, cout, 1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(), nn.Dropout(0.5))
+
+    def forward(self, x):
+        res = [conv(x) for conv in self.convs]
+        return self.project(torch.cat(res, dim=1))
+
+
+class TDeepLabV3PlusDecoder(nn.Module):
+    def __init__(self, encoder_channels, cout=256):
+        super().__init__()
+        self.aspp = nn.Sequential(
+            TASPP(encoder_channels[-1], cout),
+            TSeparableConv2d(cout, cout, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(),
+        )
+        self.up = nn.UpsamplingBilinear2d(scale_factor=4)
+        self.block1 = nn.Sequential(
+            nn.Conv2d(encoder_channels[-4], 48, 1, bias=False),
+            nn.BatchNorm2d(48), nn.ReLU())
+        self.block2 = nn.Sequential(
+            TSeparableConv2d(48 + cout, cout, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU())
+
+    def forward(self, *features):
+        x = self.up(self.aspp(features[-1]))
+        hi = self.block1(features[-4])
+        return self.block2(torch.cat([x, hi], dim=1))
+
+
+class TResNet34DeepLab(nn.Module):
+    """smp ``DeepLabV3Plus(encoder_name='resnet34')`` equivalent: the
+    encoder is dilated to output_stride 16 (layer4 stride->1, 3x3
+    dilation/padding->2 on every conv, per replace_strides_with_dilation)."""
+
+    def __init__(self, in_channels=3, classes=19):
+        super().__init__()
+        self.encoder = TResNet34Encoder(in_channels)
+        for mod in self.encoder.layer4.modules():
+            if isinstance(mod, nn.Conv2d):
+                mod.stride = (1, 1)
+                if mod.kernel_size == (3, 3):
+                    mod.dilation = (2, 2)
+                    mod.padding = (2, 2)
+        self.decoder = TDeepLabV3PlusDecoder(self.encoder.out_channels)
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(256, classes, 1),
+            nn.UpsamplingBilinear2d(scale_factor=4),
+        )
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder(x)))
