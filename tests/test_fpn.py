@@ -61,3 +61,22 @@ def test_fpn_dropout_active_in_train():
                      rngs={"dropout": jax.random.key(2)},
                      mutable=["batch_stats"])[0]
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_flair_model_builds_with_fpn_and_deeplab():
+    """Multimodal FlairHubModel attaches the new decoders; deeplab gets a
+    dilated (output_stride 16) encoder from the factory."""
+    from tests._fixtures import make_config
+    from flair_for_aigle_tpu.models.flair_model import FlairHubModel
+
+    for arch in ("resnet18-fpn", "resnet18-deeplabv3plus"):
+        cfg = make_config(arch=arch, mono=("AERIAL_RGBI",),
+                          tasks=(("TASK-A", 4),))
+        model = FlairHubModel(config=cfg)
+        batch = {
+            "AERIAL_RGBI": jnp.zeros((1, 3, 64, 64), jnp.float32),
+            "TASK-A": jnp.zeros((1, 4, 64, 64), jnp.float32),
+        }
+        v = jax.jit(model.init)(jax.random.key(0), batch)
+        logits, _ = model.apply(v, batch)
+        assert logits["TASK-A"].shape == (1, 4, 64, 64), arch
