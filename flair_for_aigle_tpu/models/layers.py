@@ -43,6 +43,11 @@ def torch_kaiming_uniform(a: float = math.sqrt(5.0)):
             fan_in = shape[0]
         else:
             fan_in = int(jnp.prod(jnp.asarray(shape[:-1])))
+        if fan_in == 0 or 0 in shape:
+            # degenerate zero-channel param (e.g. unet++ inner blocks fed
+            # only a transformer encoder's zero-channel dummy): the tensor
+            # is empty, any bound works
+            return jnp.zeros(shape, dtype)
         gain = math.sqrt(2.0 / (1.0 + a * a))
         bound = gain * math.sqrt(3.0 / fan_in)
         return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)

@@ -36,6 +36,7 @@ from flair_for_aigle_tpu.models.fpn import FPNDecoder, FPNSegmentationHead
 from flair_for_aigle_tpu.models.resnet import ResNetEncoder, _RESNET_SPECS
 from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
 from flair_for_aigle_tpu.models.unet import SegmentationHead, UnetDecoder
+from flair_for_aigle_tpu.models.unetplusplus import UnetPlusPlusDecoder
 from flair_for_aigle_tpu.models.upernet import UPerNetDecoder, UPerNetSegmentationHead
 
 # timm Swin-v1 size table: size tag -> (embed_dim, depths, num_heads).
@@ -231,6 +232,9 @@ class MonotempDecoder(nn.Module):
         if self.decoder_name == "unet":
             y = UnetDecoder(name="decoder")(*features, train=train)
             return SegmentationHead(self.classes, name="segmentation_head")(y)
+        if self.decoder_name == "unetplusplus":
+            y = UnetPlusPlusDecoder(name="decoder")(*features, train=train)
+            return SegmentationHead(self.classes, name="segmentation_head")(y)
         if self.decoder_name == "upernet":
             y = UPerNetDecoder(name="decoder")(*features, train=train)
             return UPerNetSegmentationHead(
@@ -280,6 +284,9 @@ class SmpModel(nn.Module):
         )
         if spec.decoder_name == "unet":
             y = UnetDecoder(name="decoder")(*feats, train=train)
+            return SegmentationHead(self.classes, name="segmentation_head")(y)
+        if spec.decoder_name == "unetplusplus":
+            y = UnetPlusPlusDecoder(name="decoder")(*feats, train=train)
             return SegmentationHead(self.classes, name="segmentation_head")(y)
         if spec.decoder_name == "upernet":
             y = UPerNetDecoder(name="decoder")(*feats, train=train)

@@ -1148,3 +1148,68 @@ class TResNet34DeepLab(nn.Module):
 
     def forward(self, x):
         return self.segmentation_head(self.decoder(*self.encoder(x)))
+
+
+# ---------------------------------------------------------------------------
+# U-Net++ decoder reference (smp UnetPlusPlusDecoder structure + naming)
+# ---------------------------------------------------------------------------
+
+
+class TUnetPlusPlusDecoder(nn.Module):
+    """smp UnetPlusPlusDecoder (dense nested skips), ModuleDict keys
+    x_{depth}_{layer}; blocks are the Unet DecoderBlock."""
+
+    def __init__(self, encoder_channels, decoder_channels=(256, 128, 64, 32, 16)):
+        super().__init__()
+        enc = list(encoder_channels[1:])[::-1]
+        in_ch = [enc[0]] + list(decoder_channels[:-1])
+        skip_ch = list(enc[1:]) + [0]
+        out_ch = list(decoder_channels)
+        blocks = {}
+        for layer_idx in range(len(in_ch) - 1):
+            for depth_idx in range(layer_idx + 1):
+                if depth_idx == 0:
+                    i, s, o = (in_ch[layer_idx],
+                               skip_ch[layer_idx] * (layer_idx + 1),
+                               out_ch[layer_idx])
+                else:
+                    i = skip_ch[layer_idx - 1]
+                    s = skip_ch[layer_idx] * (layer_idx + 1 - depth_idx)
+                    o = skip_ch[layer_idx]
+                blocks[f"x_{depth_idx}_{layer_idx}"] = TUnetDecoderBlock(i, s, o)
+        blocks[f"x_0_{len(in_ch) - 1}"] = TUnetDecoderBlock(
+            in_ch[-1], 0, out_ch[-1])
+        self.blocks = nn.ModuleDict(blocks)
+        self.depth = len(in_ch) - 1
+
+    def forward(self, *features):
+        feats = list(features[1:])[::-1]
+        dense = {}
+        for layer_idx in range(self.depth):
+            for depth_idx in range(self.depth - layer_idx):
+                li = depth_idx + layer_idx
+                if layer_idx == 0:
+                    dense[f"x_{depth_idx}_{li}"] = self.blocks[
+                        f"x_{depth_idx}_{li}"](feats[depth_idx],
+                                               feats[depth_idx + 1])
+                else:
+                    cat = [dense[f"x_{i}_{li}"]
+                           for i in range(depth_idx + 1, li + 1)]
+                    skip = torch.cat(cat + [feats[li + 1]], dim=1)
+                    dense[f"x_{depth_idx}_{li}"] = self.blocks[
+                        f"x_{depth_idx}_{li}"](dense[f"x_{depth_idx}_{li - 1}"],
+                                               skip)
+        return self.blocks[f"x_0_{self.depth}"](dense[f"x_0_{self.depth - 1}"])
+
+
+class TResNet34UnetPlusPlus(nn.Module):
+    """smp ``UnetPlusPlus(encoder_name='resnet34')`` equivalent."""
+
+    def __init__(self, in_channels=3, classes=19):
+        super().__init__()
+        self.encoder = TResNet34Encoder(in_channels)
+        self.decoder = TUnetPlusPlusDecoder(self.encoder.out_channels)
+        self.segmentation_head = TSegmentationHead(16, classes)
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder(x)))
