@@ -230,11 +230,12 @@ class SwinBlock(nn.Module):
 
         import os as _os
 
-        # FLAIR_SWIN_PREP=1 opts into the fused prologue kernel — staged
-        # default-off until its Mosaic lowering is validated on real v5e
-        # (interpret-mode parity is green; see tests/test_prep_kernel.py)
+        # Fused prologue kernel: default ON since Mosaic validation on real
+        # v5e (2026-08-18, tools/validate_fused_block.py — bf16 parity green
+        # on all 4 swin-base@512 stage geometries, full step 67.8 -> 61.3 ms
+        # with prep+finish+merge). FLAIR_SWIN_PREP=0 opts out.
         if (_use_attn_kernel(self.kernel_mode)
-                and _os.getenv("FLAIR_SWIN_PREP", "0") == "1"
+                and _os.getenv("FLAIR_SWIN_PREP", "1") != "0"
                 and wak.supports(c, self.num_heads, ws)
                 and prepk.supports(h, w, c, ws,
                                    jnp.dtype(x.dtype).itemsize)):
@@ -249,7 +250,7 @@ class SwinBlock(nn.Module):
 
             from flair_for_aigle_tpu.ops.pallas import finish as fink
 
-            if (_os.getenv("FLAIR_SWIN_FINISH", "0") == "1"
+            if (_os.getenv("FLAIR_SWIN_FINISH", "1") != "0"
                     and fink.supports(h, w, c, hidden_f, ws,
                                       jnp.dtype(x.dtype).itemsize)):
                 # fully fused block: prep -> attention -> finish, zero XLA
@@ -329,10 +330,11 @@ class PatchMerging(nn.Module):
 
         from flair_for_aigle_tpu.ops.pallas import merge as mergek
 
-        # FLAIR_SWIN_MERGE=1 opts into the fused gather+LN+reduction kernel
-        # (staged default-off until Mosaic-validated on real v5e)
+        # Fused gather+LN+reduction kernel: default ON since Mosaic
+        # validation on real v5e (2026-08-18, tools/validate_fused_block.py).
+        # FLAIR_SWIN_MERGE=0 opts out.
         if (_use_attn_kernel(self.kernel_mode)
-                and _os.getenv("FLAIR_SWIN_MERGE", "0") == "1"
+                and _os.getenv("FLAIR_SWIN_MERGE", "1") != "0"
                 and mergek.supports(h, w, c, self.out_dim,
                                     jnp.dtype(x.dtype).itemsize)):
             from flair_for_aigle_tpu.models.layers import (
