@@ -85,17 +85,44 @@ def shift_mask_bank(ws: int, ss: int) -> np.ndarray:
     return bank
 
 
+@lru_cache(maxsize=None)
+def shift_mask_patterns(ws: int, ss: int) -> np.ndarray:
+    """(3, T, T) float32 [ar, ac, ar*ac]: ar(i,j)=1 where the LAST-ROW
+    band grouping differs between tokens i and j, ac the last-column
+    analogue. The kernel rebuilds the bank row for any window position as
+    -100*(li*ar + lj*ac - li*lj*ar*ac), which equals shift_mask_bank's
+    entry at pattern (li, lj) — differ = (row bands differ and li) OR
+    (col bands differ and lj)."""
+    t = ws * ws
+    g = np.zeros(ws, np.int64)
+    g[: ws - ss] = 1
+    g[ws - ss:] = 2
+    gr = g[(np.arange(t) // ws)]
+    gc = g[(np.arange(t) % ws)]
+    ar = (gr[:, None] != gr[None, :]).astype(np.float32)
+    ac = (gc[:, None] != gc[None, :]).astype(np.float32)
+    return np.stack([ar, ac, ar * ac])
+
+
 def _pick_bw(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
     """Largest window-batch size that divides bnw and fits VMEM (~12 MB
     budget: resident qkv/proj weights, double-buffered x/out blocks, bias,
-    mask, f32 scores)."""
+    mask patterns, the live (bw, T, 3C) qkv, per-head f32 scores and the
+    (bw, T, T) shift mask)."""
     t_pad = -(-t // 128) * 128  # scores lane padding
-    fixed = (nh * t * t * 4 + 4 * t * t * 4 + nh * t * t_pad * 4
-             + 4 * c * c * itemsize + t * 3 * c * itemsize)
-    for bw in (16, 8, 4, 2, 1):
-        if bnw % bw or bw * nh > 64:  # bound the unrolled head loop
+    fixed = (nh * t * t * 4 + 3 * t * t * 4
+             + 4 * c * c * itemsize + 2 * 3 * c * itemsize)
+    for bw in (32, 16, 8, 4, 2, 1):
+        if bnw % bw:
             continue
-        per = bw * t * 2 * c * itemsize * 2  # x + out, double-buffered
+        per = bw * (t * 2 * c * itemsize * 2      # x + out, double-buffered
+                    + t * 3 * c * itemsize        # qkv (compute dtype)
+                    + t * 3 * c * 4               # qkv f32 accum pre-cast
+                    + t * c * itemsize            # o scratch
+                    + t * c * 4                   # out f32 accum pre-cast
+                    + t * t_pad * (4 + itemsize)  # scores f32 + probs
+                    + t * t_pad * 4               # softmax temp
+                    + t * t * 4)                  # broadcast shift mask f32
         if fixed + per <= 12 * (1 << 20):
             return bw
     return 1
@@ -109,45 +136,55 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
     def body(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
              mask_ref, out_ref, attn_scratch):
         i = pl.program_id(0)
-        for w in range(bw):
-            # in-kernel qkv projection (TorchLinear epilogue: f32 accum ->
-            # compute dtype -> +bias); the (B*nW, T, 3C) qkv tensor never
-            # exists in HBM
-            qkv = jnp.dot(
-                x_ref[w], wqkv_ref[:], preferred_element_type=jnp.float32
-            ).astype(x_ref.dtype) + bqkv_ref[0]
-            if shifted:
-                widx = (i * bw + w) % (nwh * nww)
-                li = (widx // nww == nwh - 1).astype(jnp.int32)
-                lj = (widx % nww == nww - 1).astype(jnp.int32)
-                msel = mask_ref[li * 2 + lj]  # (T, T)
-            # per-head 2D matmuls on static lane slices: Mosaic rejects
-            # lane-splitting reshapes like (T, C)->(T, nh, hd) and batch
-            # dims off position 0, so heads unroll as standard matmuls
-            for h in range(nh):
-                q = qkv[:, h * hd:(h + 1) * hd]  # (T, hd)
-                k = qkv[:, c + h * hd:c + (h + 1) * hd]
-                v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
-                # (T, hd) x (T2, hd)^T -> (T, T2), f32 accumulate
-                s = lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale
-                s = s + bias_ref[h]
-                if shifted:
-                    s = s + msel
-                probs = jax.nn.softmax(s, axis=-1).astype(x_ref.dtype)
-                o = lax.dot_general(
-                    probs, v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                attn_scratch[:, h * hd:(h + 1) * hd] = o.astype(x_ref.dtype)
-            # in-kernel output projection
-            out = jnp.dot(
-                attn_scratch[:], wproj_ref[:],
+        dt = x_ref.dtype
+        # in-kernel qkv projection over the whole window batch in ONE
+        # matmul (TorchLinear epilogue: f32 accum -> compute dtype ->
+        # +bias); the (B*nW, T, 3C) qkv tensor never exists in HBM.
+        # Per-window matmuls are MXU-issue-latency-bound at small C.
+        qkv = jnp.dot(
+            x_ref[:].reshape(bw * t, c), wqkv_ref[:],
+            preferred_element_type=jnp.float32,
+        ).astype(dt) + bqkv_ref[0]
+        qkv = qkv.reshape(bw, t, 3 * c)
+        if shifted:
+            # arithmetic shift mask: differ(i,j) <-> li*ar + lj*ac
+            # - li*lj*ar*ac with ar/ac/arac the fixed last-row/last-col
+            # difference patterns (see shift_mask_patterns) and li/lj the
+            # per-window "last in grid row/col" flags -> (bw, T, T) f32,
+            # equal to the bank row the old per-window select picked
+            gw = i * bw + lax.broadcasted_iota(jnp.int32, (bw, 1, 1), 0)
+            widx = gw % (nwh * nww)
+            li = (widx // nww == nwh - 1).astype(jnp.float32)
+            lj = (widx % nww == nww - 1).astype(jnp.float32)
+            msel = -100.0 * (li * mask_ref[0] + lj * mask_ref[1]
+                             - (li * lj) * mask_ref[2])
+        # per-head batched matmuls (batch dim leads — Mosaic rejects
+        # lane-splitting reshapes like (T, C)->(T, nh, hd), so heads
+        # unroll over static lane slices)
+        for h in range(nh):
+            q = qkv[:, :, h * hd:(h + 1) * hd]  # (bw, T, hd)
+            k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
+            v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            # (bw, T, hd) x (bw, T2, hd)^T -> (bw, T, T2), f32 accumulate
+            s = lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ).astype(x_ref.dtype) + bproj_ref[0]
-            out_ref[w] = out.astype(out_dtype)
+            ) * scale
+            s = s + bias_ref[h]
+            if shifted:
+                s = s + msel
+            probs = jax.nn.softmax(s, axis=-1).astype(dt)
+            o = lax.dot_general(
+                probs, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            attn_scratch[:, :, h * hd:(h + 1) * hd] = o.astype(dt)
+        # in-kernel output projection, one matmul over the window batch
+        out = jnp.dot(
+            attn_scratch[:].reshape(bw * t, c), wproj_ref[:],
+            preferred_element_type=jnp.float32,
+        ).astype(dt) + bproj_ref[0]
+        out_ref[:] = out.reshape(bw, t, c).astype(out_dtype)
 
     return body
 
@@ -178,13 +215,13 @@ def _build_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
                          memory_space=pltpu.VMEM),  # bproj
             pl.BlockSpec((nh, t, t), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, t, t), lambda i: (0, 0, 0),
+            pl.BlockSpec((3, t, t), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bw, t, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bnw, t, c), out_dtype),
-        scratch_shapes=[pltpu.VMEM((t, c), jnp.dtype(in_dtype_str))],
+        scratch_shapes=[pltpu.VMEM((bw, t, c), jnp.dtype(in_dtype_str))],
         cost_estimate=pl.CostEstimate(
             flops=bnw * (4 * nh * t * t * hd + 2 * t * c * 4 * c),
             bytes_accessed=bnw * t * 2 * c * itemsize + 4 * c * c * itemsize,
@@ -245,7 +282,8 @@ def _kernel_call(x, wqkv, bqkv, wproj, bproj, bias, *, num_heads,
                  window_size, shift_size, grid_hw, out_dtype, interpret):
     bnw, t, c = x.shape
     shifted = shift_size > 0
-    mask = jnp.asarray(shift_mask_bank(window_size, shift_size if shifted else 1))
+    mask = jnp.asarray(
+        shift_mask_patterns(window_size, shift_size if shifted else 1))
     call = _build_call(bnw, t, c, num_heads, shifted, grid_hw[0], grid_hw[1],
                        str(x.dtype), str(jnp.dtype(out_dtype)), interpret)
     dt = x.dtype

@@ -60,6 +60,10 @@ def main():
 
     @jax.jit
     def attn_only(x, wqkv, bqkv, wproj, bproj, bias):
+        # feed the kernel from an op, not entry params: bitcast-constrained
+        # parameter layouts make Mosaic stage extra VMEM copies (scoped OOM)
+        # that the in-model call never sees
+        x = x + jnp.float32(0).astype(x.dtype)
         o = fused_window_attention(x, wqkv, bqkv, wproj, bproj, bias,
                                    num_heads=NH, window_size=WS,
                                    shift_size=0, grid_hw=(hp // WS, hp // WS))
