@@ -250,7 +250,13 @@ class SwinBlock(nn.Module):
 
             from flair_for_aigle_tpu.ops.pallas import finish as fink
 
-            if (_os.getenv("FLAIR_SWIN_FINISH", "1") != "0"
+            # Fused finish (reverse+LN2+MLP+residual) is parity-green on
+            # real v5e at all four swin-base@512 stage geometries but LOSES
+            # to XLA-reverse + the ffn kernel (stage-3 18blk 28.8 vs
+            # 26.0 ms; full step 274 vs 284.8 tiles/s, 2026-08-18): its
+            # per-row dynamic window gathers are VPU-bound. Default OFF;
+            # FLAIR_SWIN_FINISH=1 opts in.
+            if (_os.getenv("FLAIR_SWIN_FINISH", "0") == "1"
                     and fink.supports(h, w, c, hidden_f, ws,
                                       jnp.dtype(x.dtype).itemsize)):
                 # fully fused block: prep -> attention -> finish, zero XLA
