@@ -50,8 +50,13 @@ logger = logging.getLogger(__name__)
 MONO_KEYS = ["AERIAL_RGBI", "AERIAL-RLT_PAN", "DEM_ELEV", "SPOT_RGBI"]
 MULTI_KEYS = ["SENTINEL2_TS", "SENTINEL1-ASC_TS", "SENTINEL1-DESC_TS"]
 
-# converter hint: every transposed conv in the model lives inside UTAE blocks
-FLAIR_TRANSPOSE_CONV_PATTERNS = UTAE_TRANSPOSE_CONV_PATTERNS
+# converter hint: transposed convs live inside UTAE blocks (``.up.0``) and
+# the LinkNet decoder's TransposeX2 (``.block.1.0``)
+from flair_for_aigle_tpu.models.linknet import LINKNET_TRANSPOSE_CONV_PATTERNS
+
+FLAIR_TRANSPOSE_CONV_PATTERNS = (
+    tuple(UTAE_TRANSPOSE_CONV_PATTERNS) + tuple(LINKNET_TRANSPOSE_CONV_PATTERNS)
+)
 
 
 def round_to_nearest_power_of_two(x: float) -> int:

@@ -33,6 +33,10 @@ from flair_for_aigle_tpu.models.deeplab import (
     DeepLabV3PlusDecoder,
 )
 from flair_for_aigle_tpu.models.fpn import FPNDecoder, FPNSegmentationHead
+from flair_for_aigle_tpu.models.linknet import (
+    LinknetDecoder,
+    LinknetSegmentationHead,
+)
 from flair_for_aigle_tpu.models.resnet import ResNetEncoder, _RESNET_SPECS
 from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
 from flair_for_aigle_tpu.models.unet import SegmentationHead, UnetDecoder
@@ -249,6 +253,10 @@ class MonotempDecoder(nn.Module):
             y = DeepLabV3PlusDecoder(name="decoder")(*features, train=train)
             return DeepLabSegmentationHead(
                 self.classes, name="segmentation_head")(y)
+        if self.decoder_name == "linknet":
+            y = LinknetDecoder(name="decoder")(*features, train=train)
+            return LinknetSegmentationHead(
+                self.classes, name="segmentation_head")(y)
         raise ValueError(f"Unknown decoder: {self.decoder_name}")
 
 
@@ -297,6 +305,10 @@ class SmpModel(nn.Module):
         if spec.decoder_name == "deeplabv3plus":
             y = DeepLabV3PlusDecoder(name="decoder")(*feats, train=train)
             return DeepLabSegmentationHead(
+                self.classes, name="segmentation_head")(y)
+        if spec.decoder_name == "linknet":
+            y = LinknetDecoder(name="decoder")(*feats, train=train)
+            return LinknetSegmentationHead(
                 self.classes, name="segmentation_head")(y)
         raise ValueError(f"Unknown decoder: {spec.decoder_name}")
 

@@ -1213,3 +1213,78 @@ class TResNet34UnetPlusPlus(nn.Module):
 
     def forward(self, x):
         return self.segmentation_head(self.decoder(*self.encoder(x)))
+
+
+# ---------------------------------------------------------------------------
+# LinkNet decoder reference (smp structure + naming)
+# ---------------------------------------------------------------------------
+
+
+class TConv1x1BNReLU(nn.Sequential):
+    def __init__(self, cin, cout):
+        super().__init__(
+            nn.Conv2d(cin, cout, 1, bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(inplace=True),
+        )
+
+
+class TTransposeX2(nn.Sequential):
+    def __init__(self, cin, cout):
+        super().__init__(
+            nn.ConvTranspose2d(cin, cout, kernel_size=4, stride=2, padding=1),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(inplace=True),
+        )
+
+
+class TLinknetDecoderBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.block = nn.Sequential(
+            TConv1x1BNReLU(cin, cin // 4),
+            TTransposeX2(cin // 4, cin // 4),
+            TConv1x1BNReLU(cin // 4, cout),
+        )
+
+    def forward(self, x, skip=None):
+        x = self.block(x)
+        if skip is not None:
+            x = x + skip
+        return x
+
+
+class TLinknetDecoder(nn.Module):
+    """smp LinknetDecoder layout for encoder depth 5."""
+
+    def __init__(self, encoder_channels, prefinal_channels=32, n_blocks=5):
+        super().__init__()
+        enc = list(encoder_channels[1:])[::-1]
+        channels = enc + [prefinal_channels]
+        self.blocks = nn.ModuleList(
+            [TLinknetDecoderBlock(channels[i], channels[i + 1])
+             for i in range(n_blocks)]
+        )
+
+    def forward(self, *features):
+        feats = list(features[1:])[::-1]
+        x = feats[0]
+        skips = feats[1:]
+        for i, block in enumerate(self.blocks):
+            skip = skips[i] if i < len(skips) else None
+            x = block(x, skip)
+        return x
+
+
+class TResNet34Linknet(nn.Module):
+    """smp ``Linknet(encoder_name='resnet34')`` equivalent (head kernel 1,
+    upsampling 1)."""
+
+    def __init__(self, in_channels=3, classes=19):
+        super().__init__()
+        self.encoder = TResNet34Encoder(in_channels)
+        self.decoder = TLinknetDecoder(self.encoder.out_channels)
+        self.segmentation_head = nn.Sequential(nn.Conv2d(32, classes, 1))
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder(x)))
