@@ -81,17 +81,35 @@ class _SepBNReLU(nn.Module):
         return nn.relu(y)
 
 
+class _AtrousBNReLU(nn.Module):
+    """smp ASPPConv (non-separable): Sequential(dilated 3x3 no-bias, BN,
+    ReLU) — plain DeepLabV3 uses this where V3+ uses the separable one."""
+
+    features: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = TorchConv(self.features, 3, 1, self.dilation,
+                      dilation=self.dilation, use_bias=False, name="0")(x)
+        y = TorchBatchNorm(name="1")(y, use_running_average=not train)
+        return nn.relu(y)
+
+
 class ASPP(nn.Module):
     out_features: int = 256
     atrous_rates: Sequence[int] = (12, 24, 36)
+    # smp: DeepLabV3 passes separable=False, DeepLabV3+ separable=True
+    separable: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h, w = x.shape[-3], x.shape[-2]
         branches = [_ConvBNReLU(self.out_features, name="convs.0")(x, train=train)]
+        atrous_cls = _SepBNReLU if self.separable else _AtrousBNReLU
         for i, rate in enumerate(self.atrous_rates):
             branches.append(
-                _SepBNReLU(self.out_features, dilation=rate,
+                atrous_cls(self.out_features, dilation=rate,
                            name=f"convs.{i + 1}")(x, train=train))
         # pooling branch: Sequential(pool, conv, BN, ReLU) -> child idx 1, 2
         p = jnp.mean(x.astype(jnp.float32), axis=(1, 2),
@@ -128,6 +146,25 @@ class DeepLabV3PlusDecoder(nn.Module):
         hi = _ConvBNReLU(48, name="block1")(features[-4], train=train)
         y = jnp.concatenate([x, hi], axis=-1)
         return _SepBNReLU(self.out_features, name="block2")(y, train=train)
+
+
+class DeepLabV3Decoder(nn.Module):
+    """smp DeepLabV3Decoder: an nn.Sequential(ASPP(separable=False),
+    Conv3x3 no-bias, BN, ReLU) over ``features[-1]`` — torch child names
+    ``decoder.{0,1,2}``. The model dilates its encoder to output_stride 8
+    and the head upsamples x8 (kernel 1)."""
+
+    out_features: int = 256
+    atrous_rates: Sequence[int] = (12, 24, 36)
+
+    @nn.compact
+    def __call__(self, *features, train: bool = False):
+        x = ASPP(self.out_features, self.atrous_rates, separable=False,
+                 name="0")(features[-1], train=train)
+        x = TorchConv(self.out_features, 3, 1, 1, use_bias=False,
+                      name="1")(x)
+        return nn.relu(TorchBatchNorm(name="2")(
+            x, use_running_average=not train))
 
 
 class DeepLabSegmentationHead(nn.Module):

@@ -255,8 +255,11 @@ class FlairHubModel(nn.Module):
                 attn_kernel=cfg["models"]["monotemp_model"].get(
                     "attn_kernel", "auto"),
                 # smp DeepLabV3Plus dilates its encoder to output_stride 16
-                output_stride=(16 if plan["spec"].decoder_name
-                               == "deeplabv3plus" else 32),
+                # (plain DeepLabV3 to 8); smp PSPNet truncates it to
+                # encoder_depth 3
+                output_stride={"deeplabv3plus": 16, "deeplabv3": 8,
+                               "pan": 16}.get(plan["spec"].decoder_name, 32),
+                depth=(3 if plan["spec"].decoder_name == "pspnet" else 5),
             )
             fmaps[mod] = enc(self._nchw_to_nhwc(batch[mod]), train=train)
             if plan["aux_losses"].get(mod):

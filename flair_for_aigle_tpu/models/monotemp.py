@@ -30,6 +30,7 @@ from flair_for_aigle_tpu.models.efficientnet import (
 )
 from flair_for_aigle_tpu.models.deeplab import (
     DeepLabSegmentationHead,
+    DeepLabV3Decoder,
     DeepLabV3PlusDecoder,
 )
 from flair_for_aigle_tpu.models.fpn import FPNDecoder, FPNSegmentationHead
@@ -37,6 +38,9 @@ from flair_for_aigle_tpu.models.linknet import (
     LinknetDecoder,
     LinknetSegmentationHead,
 )
+from flair_for_aigle_tpu.models.manet import MAnetDecoder
+from flair_for_aigle_tpu.models.pan import PANDecoder, PANSegmentationHead
+from flair_for_aigle_tpu.models.pspnet import PSPDecoder, PSPSegmentationHead
 from flair_for_aigle_tpu.models.resnet import ResNetEncoder, _RESNET_SPECS
 from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
 from flair_for_aigle_tpu.models.unet import SegmentationHead, UnetDecoder
@@ -193,17 +197,20 @@ class TimmUniversalEncoder(nn.Module):
 def make_encoder(encoder_name: str, in_channels: int, name: str,
                  remat: bool = False, attn_f32: bool = True,
                  attn_kernel: str = "auto",
-                 output_stride: int = 32) -> nn.Module:
+                 output_stride: int = 32, depth: int = 5) -> nn.Module:
     """Encoder module rooted at ``name`` with smp-compatible internal naming.
 
     ``output_stride`` < 32 requests smp's make_dilated (DeepLabV3+ needs
     16/8); only the resnet family supports it — timm transformer/MBConv
-    encoders raise like smp's TimmUniversalEncoder does.
+    encoders raise like smp's TimmUniversalEncoder does. ``depth`` < 5
+    requests a truncated encoder (PSPNet uses encoder_depth=3) — resnet
+    only, for the same reason.
     """
     encoder_name = _strip_tu(encoder_name)
     if encoder_name in _RESNET_SPECS:
         return ResNetEncoder(arch=encoder_name, in_channels=in_channels,
-                             output_stride=output_stride, name=name)
+                             output_stride=output_stride, depth=depth,
+                             name=name)
     if swin_spec(encoder_name) is not None or \
             convnext_spec(encoder_name) is not None or \
             effnet_spec(encoder_name) is not None:
@@ -212,6 +219,10 @@ def make_encoder(encoder_name: str, in_channels: int, name: str,
                 f"encoder '{encoder_name}' does not support dilated mode "
                 f"(output_stride={output_stride}); DeepLabV3+ needs a "
                 f"resnet encoder")
+        if depth != 5:
+            raise ValueError(
+                f"encoder '{encoder_name}' does not support encoder_depth="
+                f"{depth}; PSPNet needs a resnet encoder")
         return TimmUniversalEncoder(encoder_name, in_channels, remat=remat,
                                     attn_f32=attn_f32, attn_kernel=attn_kernel,
                                     name=name)
@@ -257,6 +268,21 @@ class MonotempDecoder(nn.Module):
             y = LinknetDecoder(name="decoder")(*features, train=train)
             return LinknetSegmentationHead(
                 self.classes, name="segmentation_head")(y)
+        if self.decoder_name == "pspnet":
+            y = PSPDecoder(name="decoder")(*features, train=train)
+            return PSPSegmentationHead(
+                self.classes, name="segmentation_head")(y)
+        if self.decoder_name == "deeplabv3":
+            y = DeepLabV3Decoder(name="decoder")(*features, train=train)
+            return DeepLabSegmentationHead(
+                self.classes, upsampling=8, name="segmentation_head")(y)
+        if self.decoder_name == "manet":
+            y = MAnetDecoder(name="decoder")(*features, train=train)
+            return SegmentationHead(self.classes, name="segmentation_head")(y)
+        if self.decoder_name == "pan":
+            y = PANDecoder(name="decoder")(*features, train=train)
+            return PANSegmentationHead(
+                self.classes, name="segmentation_head")(y)
         raise ValueError(f"Unknown decoder: {self.decoder_name}")
 
 
@@ -284,10 +310,14 @@ class SmpModel(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         spec = MonotempSpec.from_arch(self.arch)
-        # smp DeepLabV3Plus dilates the encoder to output_stride 16
-        os_ = 16 if spec.decoder_name == "deeplabv3plus" else 32
+        # smp DeepLabV3Plus and PAN dilate the encoder to output_stride 16
+        # (plain DeepLabV3 to 8); smp PSPNet truncates it to encoder_depth 3
+        os_ = {"deeplabv3plus": 16, "deeplabv3": 8,
+               "pan": 16}.get(spec.decoder_name, 32)
+        depth = 3 if spec.decoder_name == "pspnet" else 5
         feats = make_encoder(spec.encoder_name, self.in_channels,
-                             name="encoder", output_stride=os_)(
+                             name="encoder", output_stride=os_,
+                             depth=depth)(
             x, train=train
         )
         if spec.decoder_name == "unet":
@@ -309,6 +339,21 @@ class SmpModel(nn.Module):
         if spec.decoder_name == "linknet":
             y = LinknetDecoder(name="decoder")(*feats, train=train)
             return LinknetSegmentationHead(
+                self.classes, name="segmentation_head")(y)
+        if spec.decoder_name == "pspnet":
+            y = PSPDecoder(name="decoder")(*feats, train=train)
+            return PSPSegmentationHead(
+                self.classes, name="segmentation_head")(y)
+        if spec.decoder_name == "deeplabv3":
+            y = DeepLabV3Decoder(name="decoder")(*feats, train=train)
+            return DeepLabSegmentationHead(
+                self.classes, upsampling=8, name="segmentation_head")(y)
+        if spec.decoder_name == "manet":
+            y = MAnetDecoder(name="decoder")(*feats, train=train)
+            return SegmentationHead(self.classes, name="segmentation_head")(y)
+        if spec.decoder_name == "pan":
+            y = PANDecoder(name="decoder")(*feats, train=train)
+            return PANSegmentationHead(
                 self.classes, name="segmentation_head")(y)
         raise ValueError(f"Unknown decoder: {spec.decoder_name}")
 

@@ -97,11 +97,16 @@ class ResNetEncoder(nn.Module):
     # (rates 2, 4); params are identical to the stride-32 encoder, so the
     # same checkpoints load (DeepLabV3+ requires 16 or 8)
     output_stride: int = 32
+    # smp encoder_depth: depth-N encoders build only the first N-1 stages
+    # (stem + layers) and their state dict LACKS the deeper layers (PSPNet
+    # uses encoder_depth=3: stem + layer1 + layer2, deepest stride 8)
+    depth: int = 5
 
     @property
     def out_channels(self) -> tuple[int, ...]:
         _, _, exp = _RESNET_SPECS[self.arch]
-        return (self.in_channels, 64, 64 * exp, 128 * exp, 256 * exp, 512 * exp)
+        full = (self.in_channels, 64, 64 * exp, 128 * exp, 256 * exp, 512 * exp)
+        return full[: self.depth + 1]
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> list[jax.Array]:
@@ -119,7 +124,7 @@ class ResNetEncoder(nn.Module):
         out = nn.relu(TorchBatchNorm(name="bn1")(out, use_running_average=not train))
         features.append(out)
         out = max_pool2d(out, 3, 2, 1)
-        widths = (64, 128, 256, 512)
+        widths = (64, 128, 256, 512)[: self.depth - 1]
         for li, (w, d) in enumerate(zip(widths, depths)):
             stride, dil = layer_sd[li]
             for bi in range(d):

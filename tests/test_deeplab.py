@@ -65,3 +65,38 @@ def test_deeplab_requires_dilatable_encoder():
                      in_channels=3, classes=2)
     with pytest.raises(ValueError, match="dilated"):
         model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+
+
+def test_resnet34_deeplabv3_golden_vs_torch():
+    """Plain DeepLabV3: stride-8 encoder, non-separable ASPP, x8 head.
+    Reference surface: smp.create_model accepts 'deeplabv3'
+    (/root/reference/flair_hub/models/monotemp_model.py:67-92)."""
+    import torch
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from flair_for_aigle_tpu.models.checkpoint import convert_torch_state_dict
+    from flair_for_aigle_tpu.models.monotemp import SmpModel
+    from tests.torch_refs import TResNet34DeepLabV3
+
+    torch.manual_seed(0)
+    tmodel = TResNet34DeepLabV3(3, classes=6).eval()
+    x = np.random.default_rng(0).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+
+    model = SmpModel(arch="resnet34-deeplabv3", in_channels=3, classes=6)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 32, 32, 3)))
+    sd = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+    new_vars, report = convert_torch_state_dict(sd, dict(variables))
+    assert not report["missing"], report["missing"][:8]
+    assert not report["unused"], report["unused"][:8]
+    assert not report["shape_mismatch"], report["shape_mismatch"][:8]
+
+    got = np.transpose(
+        np.asarray(model.apply(new_vars,
+                               jnp.asarray(np.transpose(x, (0, 2, 3, 1))))),
+        (0, 3, 1, 2))
+    assert got.shape == want.shape == (1, 6, 64, 64)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)

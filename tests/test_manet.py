@@ -1,0 +1,47 @@
+"""MAnet decoder (smp layout): golden parity vs the torch oracle through
+the checkpoint converter, incl. the PAB flattened-softmax and
+reshape-not-transpose quirks. Reference surface:
+``smp.create_model(arch=...)`` accepts 'manet'
+(/root/reference/flair_hub/models/monotemp_model.py:67-92)."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from flair_for_aigle_tpu.models.checkpoint import convert_torch_state_dict
+from flair_for_aigle_tpu.models.monotemp import SmpModel
+
+from tests.torch_refs import TResNet34MAnet
+
+
+def test_resnet34_manet_golden_vs_torch():
+    torch.manual_seed(0)
+    tmodel = TResNet34MAnet(3, classes=7).eval()
+    x = np.random.default_rng(0).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+
+    model = SmpModel(arch="resnet34-manet", in_channels=3, classes=7)
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    sd = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+    new_vars, report = convert_torch_state_dict(sd, dict(variables))
+    assert not report["missing"], report["missing"][:8]
+    assert not report["unused"], report["unused"][:8]
+    assert not report["shape_mismatch"], report["shape_mismatch"][:8]
+
+    got = np.transpose(
+        np.asarray(model.apply(new_vars,
+                               jnp.asarray(np.transpose(x, (0, 2, 3, 1))))),
+        (0, 3, 1, 2))
+    assert got.shape == want.shape == (1, 7, 64, 64)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+
+
+def test_manet_attaches_to_efficientnet():
+    model = SmpModel(arch="efficientnet_micro-manet", in_channels=3,
+                     classes=5)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = jax.jit(model.init)(jax.random.key(0), x)
+    y = model.apply(v, x)
+    assert y.shape == (1, 64, 64, 5), y.shape

@@ -1288,3 +1288,372 @@ class TResNet34Linknet(nn.Module):
 
     def forward(self, x):
         return self.segmentation_head(self.decoder(*self.encoder(x)))
+
+
+# ---------------------------------------------------------------------------
+# PSPNet decoder reference (smp structure + naming, encoder_depth=3)
+# ---------------------------------------------------------------------------
+
+
+class TResNet34EncoderDepth3(nn.Module):
+    """smp resnet34 encoder at encoder_depth=3: the state dict LACKS
+    layer3/layer4 (4 features, deepest stride 8)."""
+
+    def __init__(self, in_channels=3):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+
+        def make_layer(cin, cout, n, stride):
+            blocks = [TBasicBlock(cin, cout, stride)]
+            blocks += [TBasicBlock(cout, cout) for _ in range(n - 1)]
+            return nn.Sequential(*blocks)
+
+        self.layer1 = make_layer(64, 64, 3, 1)
+        self.layer2 = make_layer(64, 128, 4, 2)
+        self.out_channels = (in_channels, 64, 64, 128)
+
+    def forward(self, x):
+        feats = [x]
+        x = F.relu(self.bn1(self.conv1(x)))
+        feats.append(x)
+        x = self.layer1(self.maxpool(x))
+        feats.append(x)
+        x = self.layer2(x)
+        feats.append(x)
+        return feats
+
+
+class TPSPBlock(nn.Module):
+    def __init__(self, cin, cout, pool_size):
+        super().__init__()
+        use_bn = pool_size != 1  # smp: no BN on the 1x1 branch
+        conv = [nn.Conv2d(cin, cout, 1, bias=not use_bn)]
+        if use_bn:
+            conv.append(nn.BatchNorm2d(cout))
+        conv.append(nn.ReLU(inplace=True))
+        self.pool = nn.Sequential(
+            nn.AdaptiveAvgPool2d(output_size=(pool_size, pool_size)),
+            nn.Sequential(*conv),
+        )
+
+    def forward(self, x):
+        h, w = x.size(2), x.size(3)
+        return F.interpolate(self.pool(x), size=(h, w), mode="bilinear",
+                             align_corners=True)
+
+
+class TPSPDecoder(nn.Module):
+    def __init__(self, encoder_channels, out_channels=512, sizes=(1, 2, 3, 6)):
+        super().__init__()
+        cin = encoder_channels[-1]
+
+        class _PSP(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.blocks = nn.ModuleList(
+                    [TPSPBlock(cin, cin // len(sizes), s) for s in sizes])
+
+            def forward(self, x):
+                return torch.cat([b(x) for b in self.blocks] + [x], dim=1)
+
+        self.psp = _PSP()
+        self.conv = nn.Sequential(
+            nn.Conv2d(cin * 2, out_channels, 1, bias=False),
+            nn.BatchNorm2d(out_channels),
+            nn.ReLU(inplace=True),
+        )
+        self.dropout = nn.Dropout2d(p=0.2)
+
+    def forward(self, *features):
+        return self.dropout(self.conv(self.psp(features[-1])))
+
+
+class TPSPHead(nn.Sequential):
+    def __init__(self, cin, classes, upsampling=8):
+        super().__init__(
+            nn.Conv2d(cin, classes, 3, padding=1),
+            nn.UpsamplingBilinear2d(scale_factor=upsampling),
+        )
+
+
+class TResNet34PSPNet(nn.Module):
+    """smp ``PSPNet(encoder_name='resnet34')`` equivalent (encoder_depth 3,
+    psp_out_channels 512, head x8)."""
+
+    def __init__(self, in_channels=3, classes=19):
+        super().__init__()
+        self.encoder = TResNet34EncoderDepth3(in_channels)
+        self.decoder = TPSPDecoder(self.encoder.out_channels)
+        self.segmentation_head = TPSPHead(512, classes)
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder(x)))
+
+
+# ---------------------------------------------------------------------------
+# DeepLabV3 (non-plus) decoder reference (smp structure + naming)
+# ---------------------------------------------------------------------------
+
+
+class TASPPPlain(nn.Module):
+    """TASPP with non-separable atrous branches (smp separable=False)."""
+
+    def __init__(self, cin, cout=256, rates=(12, 24, 36)):
+        super().__init__()
+        mods = [nn.Sequential(nn.Conv2d(cin, cout, 1, bias=False),
+                              nn.BatchNorm2d(cout), nn.ReLU())]
+        for r in rates:
+            mods.append(nn.Sequential(
+                nn.Conv2d(cin, cout, 3, padding=r, dilation=r, bias=False),
+                nn.BatchNorm2d(cout), nn.ReLU()))
+        mods.append(TASPPPooling(cin, cout))
+        self.convs = nn.ModuleList(mods)
+        self.project = nn.Sequential(
+            nn.Conv2d(5 * cout, cout, 1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(), nn.Dropout(0.5))
+
+    def forward(self, x):
+        res = [conv(x) for conv in self.convs]
+        return self.project(torch.cat(res, dim=1))
+
+
+class TDeepLabV3Decoder(nn.Sequential):
+    def __init__(self, cin, cout=256):
+        super().__init__(
+            TASPPPlain(cin, cout),
+            nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(),
+        )
+
+    def forward(self, *features):
+        x = features[-1]
+        for mod in self:
+            x = mod(x)
+        return x
+
+
+class TResNet34DeepLabV3(nn.Module):
+    """smp ``DeepLabV3(encoder_name='resnet34')`` equivalent: encoder
+    dilated to output_stride 8 (layer3 rate 2, layer4 rate 4), head
+    kernel 1 + x8 bilinear."""
+
+    def __init__(self, in_channels=3, classes=19):
+        super().__init__()
+        self.encoder = TResNet34Encoder(in_channels)
+        for layer, rate in ((self.encoder.layer3, 2),
+                            (self.encoder.layer4, 4)):
+            for mod in layer.modules():
+                if isinstance(mod, nn.Conv2d):
+                    mod.stride = (1, 1)
+                    if mod.kernel_size == (3, 3):
+                        mod.dilation = (rate, rate)
+                        mod.padding = (rate, rate)
+        self.decoder = TDeepLabV3Decoder(self.encoder.out_channels[-1])
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(256, classes, 1),
+            nn.UpsamplingBilinear2d(scale_factor=8),
+        )
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder(x)))
+
+
+# ---------------------------------------------------------------------------
+# MAnet decoder reference (smp structure + naming, incl. the PAB
+# flattened-softmax and reshape quirks)
+# ---------------------------------------------------------------------------
+
+
+class TPAB(nn.Module):
+    def __init__(self, in_channels, pab_channels=64):
+        super().__init__()
+        self.in_channels = in_channels
+        self.top_conv = nn.Conv2d(in_channels, pab_channels, 1)
+        self.center_conv = nn.Conv2d(in_channels, pab_channels, 1)
+        self.bottom_conv = nn.Conv2d(in_channels, in_channels, 3, padding=1)
+        self.map_softmax = nn.Softmax(dim=1)
+        self.out_conv = nn.Conv2d(in_channels, in_channels, 3, padding=1)
+
+    def forward(self, x):
+        bsize, _, h, w = x.shape
+        x_top = self.top_conv(x).flatten(2)                     # B,pab,hw
+        x_center = self.center_conv(x).flatten(2).transpose(1, 2)
+        x_bottom = self.bottom_conv(x).flatten(2).transpose(1, 2)
+        sp_map = torch.matmul(x_center, x_top)                  # B,hw,hw
+        # smp quirk: softmax over the flattened hw*hw axis
+        sp_map = self.map_softmax(sp_map.view(bsize, -1)).view(
+            bsize, h * w, h * w)
+        sp_map = torch.matmul(sp_map, x_bottom)                 # B,hw,C
+        # smp quirk: reshape (not transpose) to B,C,h,w
+        sp_map = sp_map.reshape(bsize, self.in_channels, h, w)
+        return self.out_conv(x + sp_map)
+
+
+class TMFAB(nn.Module):
+    def __init__(self, cin, cskip, cout, reduction=16):
+        super().__init__()
+        self.hl_conv = nn.Sequential(
+            TConv2dReLU(cin, cin),
+            nn.Sequential(nn.Conv2d(cin, cskip, 1, bias=False),
+                          nn.BatchNorm2d(cskip), nn.ReLU(inplace=True)),
+        )
+        red = max(1, cskip // reduction)
+        self.SE_ll = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), nn.Conv2d(cskip, red, 1),
+            nn.ReLU(inplace=True), nn.Conv2d(red, cskip, 1), nn.Sigmoid())
+        self.SE_hl = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), nn.Conv2d(cskip, red, 1),
+            nn.ReLU(inplace=True), nn.Conv2d(red, cskip, 1), nn.Sigmoid())
+        self.conv1 = TConv2dReLU(cskip + cskip, cout)
+        self.conv2 = TConv2dReLU(cout, cout)
+
+    def forward(self, x, skip):
+        x = self.hl_conv(x)
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        gate = self.SE_hl(x) + self.SE_ll(skip)
+        x = torch.cat([x * gate, skip], dim=1)
+        return self.conv2(self.conv1(x))
+
+
+class TMAnetDecoder(nn.Module):
+    def __init__(self, encoder_channels,
+                 decoder_channels=(256, 128, 64, 32, 16)):
+        super().__init__()
+        enc = list(encoder_channels[1:])[::-1]
+        in_ch = [enc[0]] + list(decoder_channels[:-1])
+        skip_ch = list(enc[1:]) + [0]
+        self.center = TPAB(enc[0])
+        self.blocks = nn.ModuleList([
+            TMFAB(i, s, o) if s else TUnetDecoderBlock(i, 0, o)
+            for i, s, o in zip(in_ch, skip_ch, decoder_channels)
+        ])
+
+    def forward(self, *features):
+        feats = list(features[1:])[::-1]
+        x = self.center(feats[0])
+        skips = feats[1:]
+        for i, block in enumerate(self.blocks):
+            if i < len(skips):
+                x = block(x, skips[i])
+            else:
+                x = block(x)
+        return x
+
+
+class TResNet34MAnet(nn.Module):
+    """smp ``MAnet(encoder_name='resnet34')`` equivalent."""
+
+    def __init__(self, in_channels=3, classes=19):
+        super().__init__()
+        self.encoder = TResNet34Encoder(in_channels)
+        self.decoder = TMAnetDecoder(self.encoder.out_channels)
+        self.segmentation_head = TSegmentationHead(16, classes)
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder(x)))
+
+
+# ---------------------------------------------------------------------------
+# PAN decoder reference (smp structure + naming)
+# ---------------------------------------------------------------------------
+
+
+class TConvBnRelu(nn.Module):
+    def __init__(self, cin, cout, k, padding=0, add_relu=True):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, 1, padding)
+        self.bn = nn.BatchNorm2d(cout)
+        self.add_relu = add_relu
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return F.relu(x) if self.add_relu else x
+
+
+class TFPABlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.branch1 = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), TConvBnRelu(cin, cout, 1))
+        self.mid = nn.Sequential(TConvBnRelu(cin, cout, 1))
+        self.down1 = nn.Sequential(
+            nn.MaxPool2d(2, 2), TConvBnRelu(cin, 1, 7, 3))
+        self.down2 = nn.Sequential(
+            nn.MaxPool2d(2, 2), TConvBnRelu(1, 1, 5, 2))
+        self.down3 = nn.Sequential(
+            nn.MaxPool2d(2, 2), TConvBnRelu(1, 1, 3, 1),
+            TConvBnRelu(1, 1, 3, 1))
+        self.conv2 = TConvBnRelu(1, 1, 5, 2)
+        self.conv1 = TConvBnRelu(1, 1, 7, 3)
+
+    def forward(self, x):
+        h, w = x.size(2), x.size(3)
+        up = dict(mode="bilinear", align_corners=True)
+        b1 = F.interpolate(self.branch1(x), size=(h, w), **up)
+        mid = self.mid(x)
+        x1 = self.down1(x)
+        x2 = self.down2(x1)
+        x3 = self.down3(x2)
+        x3 = F.interpolate(x3, size=(h // 4, w // 4), **up)
+        x2 = self.conv2(x2)
+        y = F.interpolate(x2 + x3, size=(h // 2, w // 2), **up)
+        x1 = self.conv1(x1)
+        y = F.interpolate(y + x1, size=(h, w), **up)
+        return y * mid + b1
+
+
+class TGAUBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1),
+            TConvBnRelu(cout, cout, 1, add_relu=False),
+            nn.Sigmoid())
+        self.conv2 = TConvBnRelu(cin, cout, 3, 1)
+
+    def forward(self, x, y):
+        h, w = x.size(2), x.size(3)
+        y_up = F.interpolate(y, size=(h, w), mode="bilinear",
+                             align_corners=True)
+        return y_up + self.conv2(x) * self.conv1(y)
+
+
+class TPANDecoder(nn.Module):
+    def __init__(self, encoder_channels, decoder_channels=32):
+        super().__init__()
+        self.fpa = TFPABlock(encoder_channels[-1], decoder_channels)
+        self.gau3 = TGAUBlock(encoder_channels[-2], decoder_channels)
+        self.gau2 = TGAUBlock(encoder_channels[-3], decoder_channels)
+        self.gau1 = TGAUBlock(encoder_channels[-4], decoder_channels)
+
+    def forward(self, *features):
+        x5 = self.fpa(features[-1])
+        x4 = self.gau3(features[-2], x5)
+        x3 = self.gau2(features[-3], x4)
+        return self.gau1(features[-4], x3)
+
+
+class TResNet34PAN(nn.Module):
+    """smp ``PAN(encoder_name='resnet34')`` equivalent: encoder dilated to
+    output_stride 16, decoder_channels 32, head Conv3x3 + x4."""
+
+    def __init__(self, in_channels=3, classes=19):
+        super().__init__()
+        self.encoder = TResNet34Encoder(in_channels)
+        for mod in self.encoder.layer4.modules():
+            if isinstance(mod, nn.Conv2d):
+                mod.stride = (1, 1)
+                if mod.kernel_size == (3, 3):
+                    mod.dilation = (2, 2)
+                    mod.padding = (2, 2)
+        self.decoder = TPANDecoder(self.encoder.out_channels)
+        self.segmentation_head = nn.Sequential(
+            nn.Conv2d(32, classes, 3, padding=1),
+            nn.UpsamplingBilinear2d(scale_factor=4),
+        )
+
+    def forward(self, x):
+        return self.segmentation_head(self.decoder(*self.encoder(x)))
