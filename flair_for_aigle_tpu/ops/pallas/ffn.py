@@ -58,8 +58,12 @@ def _gelu_exact(x: jax.Array) -> jax.Array:
 
 
 def _pick_tb(n: int, c: int, itemsize: int) -> int:
-    """Token-block rows: largest of {512, 256, 128, 64, 32, 16, 8} dividing
-    n whose x/attn/out blocks + f32 scratch fit the VMEM budget."""
+    """Token-block rows: largest of {2048 .. 8} dividing n whose x/attn/out
+    blocks + f32 scratch fit the VMEM budget. Negative result (v5e,
+    2026-08-18): tb=1024 at stage-1 geometry (C=128, n=262k) measured the
+    same 1.8 ms/block as tb=512 (the kernel is VPU/mixed-bound there, not
+    grid-step-bound) and tb=2048 OOMs scoped VMEM at 18.5M (f32 hidden
+    accumulator dominates) — so 512 stays the cap."""
     for tb in (512, 256, 128, 64, 32, 16, 8):
         if n % tb:
             continue
