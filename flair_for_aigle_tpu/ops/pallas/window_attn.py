@@ -123,7 +123,7 @@ def _pick_bw(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
                     + t * t_pad * (4 + itemsize)  # scores f32 + probs
                     + t * t_pad * 4               # softmax temp
                     + t * t * 4)                  # broadcast shift mask f32
-        if fixed + per <= 12 * (1 << 20):
+        if fixed + per <= int(float(_os.getenv("FLAIR_ATTN_VMEM_MB", "12")) * (1 << 20)):
             return bw
     return 1
 

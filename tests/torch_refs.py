@@ -1325,7 +1325,11 @@ class TResNet34EncoderDepth3(nn.Module):
         return feats
 
 
-class TPSPBlock(nn.Module):
+class TPSPNetBlock(nn.Module):
+    """smp PSPNet's pooling block — distinct from the UPerNet TPSPBlock
+    above (which always uses Conv(bias=False)+BN); do NOT reuse that name
+    at module scope or the UPerNet oracle silently picks this one up."""
+
     def __init__(self, cin, cout, pool_size):
         super().__init__()
         use_bn = pool_size != 1  # smp: no BN on the 1x1 branch
@@ -1353,7 +1357,7 @@ class TPSPDecoder(nn.Module):
             def __init__(self):
                 super().__init__()
                 self.blocks = nn.ModuleList(
-                    [TPSPBlock(cin, cin // len(sizes), s) for s in sizes])
+                    [TPSPNetBlock(cin, cin // len(sizes), s) for s in sizes])
 
             def forward(self, x):
                 return torch.cat([b(x) for b in self.blocks] + [x], dim=1)
