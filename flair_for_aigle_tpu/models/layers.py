@@ -109,18 +109,38 @@ class TorchConv(nn.Module):
         else:
             pad = ((ph, ph), (pw, pw))
         dtype = self.dtype or x.dtype
+        # Non-overlapping patch conv (stride == kernel, no pad/dilation) on a
+        # few-channel input — the swin/ViT patch-embed shape — lowers ~7x
+        # faster as space-to-depth + one matmul: XLA's conv path on TPU is
+        # pathological at C_in=3 (measured 3.41 vs 0.46 ms at swin-base
+        # 512px batch 16, tools/exp_gelu_patchembed.py 2026-08-18). Exact
+        # im2col: identical contraction, f32-accumulated on the MXU either
+        # way. Param tree unchanged (kernel stays HWIO).
+        if ((kh, kw) == (sh, sw) and (ph, pw) == (0, 0)
+                and (dh, dw) == (1, 1) and self.groups == 1 and in_ch < 64
+                and x.ndim == 4
+                and x.shape[-3] % kh == 0 and x.shape[-2] % kw == 0):
+            b, h, w = x.shape[0], x.shape[-3] // kh, x.shape[-2] // kw
+            y = x.astype(dtype).reshape(b, h, kh, w, kw, in_ch)
+            y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+                b, h, w, kh * kw * in_ch)
+            y = jnp.dot(y, kernel.astype(dtype).reshape(kh * kw * in_ch,
+                                                        self.features))
+        else:
+            y = None
         # no preferred_element_type: the TPU MXU accumulates bf16 convs in
         # f32 regardless, and a f32 preferred output breaks the conv VJP
         # dtype contract under bf16 autodiff
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(sh, sw),
-            padding=pad,
-            rhs_dilation=(dh, dw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-        )
+        if y is None:
+            y = lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(sh, sw),
+                padding=pad,
+                rhs_dilation=(dh, dw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias",

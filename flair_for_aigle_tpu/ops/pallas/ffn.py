@@ -38,16 +38,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _erf(z: jax.Array) -> jax.Array:
-    """float32 erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7) —
-    Mosaic has no erf/erfc lowering."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    p = 0.3275911
-    s = jnp.sign(z)
+    """float32 erf via Abramowitz & Stegun 7.1.27 (|err| <= 2.7e-7,
+    verified over [-8,8]) — Mosaic has no erf/erfc lowering. 7.1.27 is
+    exp-free (poly6 + reciprocal + 4 squarings), measured 15% faster than
+    the exp-based 7.1.26 at swin stage-1 geometry where the VPU GELU
+    dominates the fused FFN kernel (2.29 -> 1.94 ms/block,
+    tools/exp_gelu_patchembed.py 2026-08-18); both errors sit ~4 orders
+    below one bf16 ulp, so bf16 kernel outputs are unchanged."""
+    a = (0.0705230784, 0.0422820123, 0.0092705272,
+         0.0001520143, 0.0002765672, 0.0000430638)
     za = jnp.abs(z)
-    t = 1.0 / (1.0 + p * za)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-za * za))
+    acc = jnp.float32(a[5])
+    for c in (a[4], a[3], a[2], a[1], a[0]):
+        acc = acc * za + jnp.float32(c)
+    u = 1.0 + za * acc
+    r = 1.0 / u
+    r2 = r * r
+    r4 = r2 * r2
+    r8 = r4 * r4
+    return jnp.sign(z) * (1.0 - r8 * r8)
 
 
 def _gelu_exact(x: jax.Array) -> jax.Array:

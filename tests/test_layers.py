@@ -210,3 +210,25 @@ def test_instance_norm():
     want = tnn.InstanceNorm2d(4)(torch.from_numpy(x)).numpy()
     got = TorchInstanceNorm().apply({}, jnp.asarray(nhwc(x)))
     np.testing.assert_allclose(nhwc(want), np.asarray(got), atol=1e-4)
+
+
+def test_patch_conv_fast_path_matches_torch():
+    """Non-overlapping small-C_in conv (the swin patch embed) takes the
+    space-to-depth + matmul lowering; must match torch Conv2d exactly,
+    and odd sizes must fall back to the conv lowering (VALID crop)."""
+    x = RNG.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    tconv = tnn.Conv2d(3, 8, 4, stride=4)
+    want = tconv(torch.from_numpy(x)).detach().numpy()
+    m = TorchConv(8, 4, 4, 0)
+    params = {
+        "kernel": jnp.asarray(conv_w_to_hwio(tconv.weight.detach().numpy())),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }
+    got = m.apply({"params": params}, jnp.asarray(nhwc(x)))
+    np.testing.assert_allclose(nhwc(want), np.asarray(got), atol=1e-5)
+
+    # indivisible spatial size: VALID semantics (torch drops the remainder)
+    x2 = RNG.normal(size=(1, 3, 15, 15)).astype(np.float32)
+    want2 = tconv(torch.from_numpy(x2)).detach().numpy()
+    got2 = m.apply({"params": params}, jnp.asarray(nhwc(x2)))
+    np.testing.assert_allclose(nhwc(want2), np.asarray(got2), atol=1e-5)

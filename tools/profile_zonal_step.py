@@ -31,10 +31,15 @@ dec_vars = jax.jit(dec.init)(jax.random.PRNGKey(1), *feats)
 y0 = jax.jit(dec.apply)(dec_vars, *feats)
 head_vars = jax.jit(head.init)(jax.random.PRNGKey(2), y0)
 
+BARE = _o.getenv("BARE") == "1"  # bare model step: no epilogue/transpose
+
+
 def zonal_fwd(ev, dv, hv, x):
     feats = enc.apply(ev, x)
     y = dec.apply(dv, *feats)
     lg = head.apply(hv, y)  # (B, 128, 128, 19) stride-4
+    if BARE:
+        return lg
     lgs4 = jnp.transpose(lg, (0, 3, 1, 2))
     return upsample_crop_convert(lgs4, margin=MARGIN, scale=4,
                                  output_type="argmax")
