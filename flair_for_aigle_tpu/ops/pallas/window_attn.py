@@ -60,17 +60,21 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Static-shift softmax (default ON; FLAIR_ATTN_FAST_SOFTMAX=0 opts out;
-# read at import since kernel builders are lru_cached): softmax(x) =
-# exp(x-c)/sum(exp(x-c)) for any c, so the per-row max reduce+subtract
-# passes over the (bw, nh, T, T) f32 score tensor are pure safety against
-# exp overflow; a static c=30 keeps exp in f32 range for any realistic
-# swin score. Still f32 exp/sum (the attn_f32 contract). Measured on v5e
-# 2026-08-18 (tools/exp_block_decomp.py / profile_zonal_step.py):
-# stage-1 attn 2.59 -> 1.57 ms/block, stage-3 0.54 -> 0.22, full zonal
-# step 282.3 -> 300.6 tiles/s back-to-back in the same tunnel phase.
-# Interpret parity green vs the safe XLA softmax at existing tolerances.
-_FAST_SOFTMAX = _os.getenv("FLAIR_ATTN_FAST_SOFTMAX", "1") != "0"
+# Static-shift softmax level (FLAIR_ATTN_FAST_SOFTMAX=0|1|2, default 2;
+# read at import since kernel builders are lru_cached).
+# Level 1: softmax(x) = exp(x-c)/sum(exp(x-c)) for any c, so the per-row
+# max reduce+subtract passes over the (bw, nh, T, T) f32 score tensor are
+# pure safety against exp overflow; a static c=30 keeps exp in f32 range
+# for any realistic swin score. Level 2 (default) further defers the
+# normalization past the value matmul (linear), dividing the (T, hd)
+# product by the exact f32 row sums instead of the (T, T) probs.
+# Still f32 exp/sum (the attn_f32 contract). Measured on v5e 2026-08-18/19
+# (tools/exp_block_decomp.py / profile_zonal_step.py, same-phase A/B):
+# stage-1 attn 2.59 -> 1.57 ms/block (lvl 1), stage-3 0.54 -> 0.22; full
+# zonal step 282.3 -> 299.6-300.6 (lvl 1) -> 311.3-314.8 tiles/s (lvl 2,
+# A/B/A 299.7 / 311.3 / 299.4). Interpret parity green vs the safe XLA
+# softmax at existing tolerances for both levels.
+_FAST_SOFTMAX = int(_os.getenv("FLAIR_ATTN_FAST_SOFTMAX", "2"))
 
 
 @lru_cache(maxsize=None)
@@ -185,24 +189,36 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
             s = s + bias_ref[h]
             if shifted:
                 s = s + msel
-            if _FAST_SOFTMAX:
-                # experimental (FLAIR_ATTN_FAST_SOFTMAX=1): skip the
-                # per-row max reduce — softmax(x) = exp(x-c)/sum(exp(x-c))
-                # for any c; a static c=30 keeps exp in f32 range for any
-                # realistic score (rows whose max sits below -57 would
-                # flush to 0/0, which LN-bounded swin scores never reach).
-                # +1e-37 denom guard: a no-op below one f32 ulp of any
-                # realistic denominator, but the impossible all-underflow
-                # row degrades to zeros instead of 0/0 NaN.
+            if _FAST_SOFTMAX == 2:
+                # deferred normalization: the value matmul is linear, so
+                # divide the (T, hd) product instead of the (T, T) probs
+                # (4.5x fewer divides at T=144, hd=32); sum stays f32.
                 e = jnp.exp(s - 30.0)
-                probs = (e / (jnp.sum(e, axis=-1, keepdims=True)
-                              + 1e-37)).astype(dt)
+                denom = jnp.sum(e, axis=-1, keepdims=True) + 1e-37
+                o = lax.dot_general(
+                    e.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) / denom
             else:
-                probs = jax.nn.softmax(s, axis=-1).astype(dt)
-            o = lax.dot_general(
-                probs, v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
+                if _FAST_SOFTMAX:
+                    # static-shift softmax (see module note): the per-row
+                    # max reduce+subtract are pure overflow safety;
+                    # softmax(x) = exp(x-c)/sum(exp(x-c)) for any c, and
+                    # c=30 keeps exp in f32 range for any realistic score
+                    # (rows whose max sits below -57 would flush to 0/0,
+                    # which LN-bounded swin scores never reach). +1e-37
+                    # denom guard: a no-op below one f32 ulp of any
+                    # realistic denominator, but the impossible all-
+                    # underflow row degrades to zeros instead of NaN.
+                    e = jnp.exp(s - 30.0)
+                    probs = (e / (jnp.sum(e, axis=-1, keepdims=True)
+                                  + 1e-37)).astype(dt)
+                else:
+                    probs = jax.nn.softmax(s, axis=-1).astype(dt)
+                o = lax.dot_general(
+                    probs, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
             attn_scratch[:, :, h * hd:(h + 1) * hd] = o.astype(dt)
         # in-kernel output projection, one matmul over the window batch
         out = jnp.dot(
