@@ -403,7 +403,15 @@ def _bwd_kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                 s = s + bias_ref[h]
                 if shifted:
                     s = s + msel
-                p = jax.nn.softmax(s, axis=-1)          # f32 (T, T)
+                if _FAST_SOFTMAX:
+                    # static-shift softmax (see module note): same
+                    # pass-elimination win as the forward; the softmax
+                    # backward algebra below needs explicit normalized p,
+                    # so the deferred-normalization trick stays fwd-only.
+                    e = jnp.exp(s - 30.0)
+                    p = e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-37)
+                else:
+                    p = jax.nn.softmax(s, axis=-1)      # f32 (T, T)
                 pc = p.astype(dt)
                 o_scr[:, h * hd:(h + 1) * hd] = lax.dot_general(
                     pc, v, (((1,), (0,)), ((), ())),
