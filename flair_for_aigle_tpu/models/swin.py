@@ -107,10 +107,11 @@ class WindowAttention(nn.Module):
       softmax dtype is float32 (torch parity) unless ``attn_f32=False``
       (opt-in speed knob like compute_dtype: scores in the compute dtype).
     * Pallas kernel path (``kernel_mode`` 'auto'|'on'|'off'; auto = on TPU;
-      differentiable via custom VJP): one fused VMEM pass per window with
-      f32 softmax —
-      both faster than either XLA variant and f32-exact, since the XLA
-      lowering materializes every (B*nW, nh, T, T) score tensor in HBM
+      differentiable via custom VJP): one fused VMEM pass per window.
+      Scores/softmax follow ``attn_f32`` exactly like the XLA path (f32 by
+      default; the compute dtype under the opt-in knob) — faster than
+      either XLA variant either way, since the XLA lowering materializes
+      every (B*nW, nh, T, T) score tensor in HBM
       (ops/pallas/window_attn.py).
     """
 
@@ -166,6 +167,7 @@ class WindowAttention(nn.Module):
                 x, wqkv, bqkv, wproj, bproj, bias,
                 num_heads=nh, window_size=ws, shift_size=ss,
                 grid_hw=(hp // ws, wp // ws), out_dtype=y.dtype,
+                attn_f32=self.attn_f32,
             )
             if return_windows:
                 return out

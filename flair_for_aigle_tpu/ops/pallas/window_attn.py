@@ -145,7 +145,7 @@ def _pick_bw(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
 
 
 def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
-                 nwh: int, nww: int, out_dtype):
+                 nwh: int, nww: int, out_dtype, attn_f32: bool = True):
     hd = c // nh
     scale = hd ** -0.5
 
@@ -153,6 +153,12 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
              mask_ref, out_ref, attn_scratch):
         i = pl.program_id(0)
         dt = x_ref.dtype
+        # attn_f32=False (the model's opt-in speed knob, swin.py:attn_f32):
+        # scores/softmax in the compute dtype, mirroring the XLA path's
+        # acc_t = x.dtype — halves the VPU softmax traffic over the
+        # (bw, nh, T, T) score tiles the kernel is bound by. Bias arrives
+        # pre-cast to dt from _kernel_call in that mode.
+        acc_t = jnp.float32 if attn_f32 else dt
         # in-kernel qkv projection over the whole window batch in ONE
         # matmul (TorchLinear epilogue: f32 accum -> compute dtype ->
         # +bias); the (B*nW, T, 3C) qkv tensor never exists in HBM.
@@ -172,8 +178,8 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
             widx = gw % (nwh * nww)
             li = (widx // nww == nwh - 1).astype(jnp.float32)
             lj = (widx % nww == nww - 1).astype(jnp.float32)
-            msel = -100.0 * (li * mask_ref[0] + lj * mask_ref[1]
-                             - (li * lj) * mask_ref[2])
+            msel = (-100.0 * (li * mask_ref[0] + lj * mask_ref[1]
+                              - (li * lj) * mask_ref[2])).astype(acc_t)
         # per-head batched matmuls (batch dim leads — Mosaic rejects
         # lane-splitting reshapes like (T, C)->(T, nh, hd), so heads
         # unroll over static lane slices)
@@ -181,15 +187,32 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
             q = qkv[:, :, h * hd:(h + 1) * hd]  # (bw, T, hd)
             k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
             v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-            # (bw, T, hd) x (bw, T2, hd)^T -> (bw, T, T2), f32 accumulate
+            # (bw, T, hd) x (bw, T2, hd)^T -> (bw, T, T2). Mosaic requires
+            # a 32-bit matmul accumulator, so the dot emits f32 and the
+            # attn_f32=False path casts the scores down once — the VPU
+            # softmax passes that bound this kernel then run in bf16.
             s = lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            ).astype(acc_t) * scale
             s = s + bias_ref[h]
             if shifted:
                 s = s + msel
-            if _FAST_SOFTMAX == 2:
+            if not attn_f32:
+                # bf16 scores: the static c=30 shift is INVALID here (bf16
+                # ulp at magnitude 30 is 0.125 -> ~12% exp error); the
+                # classic per-row max shift keeps the exp argument near
+                # zero where bf16 is accurate (far-from-max rows land on
+                # coarse ulps but contribute ~e^-20 to the sum). Deferred
+                # normalization still applies.
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                denom = jnp.sum(e, axis=-1, keepdims=True) + 1e-37
+                o = lax.dot_general(
+                    e.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) / denom
+            elif _FAST_SOFTMAX == 2:
                 # deferred normalization: the value matmul is linear, so
                 # divide the (T, hd) product instead of the (T, T) probs
                 # (4.5x fewer divides at T=144, hd=32); sum stays f32.
@@ -233,11 +256,11 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
 @lru_cache(maxsize=None)
 def _build_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
                 nwh: int, nww: int, in_dtype_str: str, out_dtype_str: str,
-                interpret: bool):
+                interpret: bool, attn_f32: bool = True):
     out_dtype = jnp.dtype(out_dtype_str)
     itemsize = jnp.dtype(in_dtype_str).itemsize
     bw = _pick_bw(bnw, t, c, nh, itemsize)
-    body = _kernel_body(nh, t, c, bw, shifted, nwh, nww, out_dtype)
+    body = _kernel_body(nh, t, c, bw, shifted, nwh, nww, out_dtype, attn_f32)
     hd = c // nh
     n_inst = bnw // bw
     call = pl.pallas_call(
@@ -288,30 +311,33 @@ def _full_shift_mask(ws: int, ss: int, nwh: int, nww: int) -> np.ndarray:
 
 
 def _xla_forward(x, wqkv, bqkv, wproj, bproj, bias, *, num_heads, shifted,
-                 window_size, shift_size, grid_hw, out_dtype):
-    """XLA twin of the kernel with matching numerics (f32 score accumulate,
+                 window_size, shift_size, grid_hw, out_dtype, attn_f32=True):
+    """XLA twin of the kernel with matching numerics (acc_t score
+    accumulate — f32 unless attn_f32=False, the model's opt-in speed knob —
     compute-dtype probs/PV, TorchLinear epilogues) — differentiated by the
     custom VJP's backward."""
     bnw, t, c = x.shape
     nh = num_heads
     hd = c // nh
     dt = x.dtype
+    acc_t = jnp.float32 if attn_f32 else dt
     qkv = jnp.dot(x, wqkv.astype(dt),
                   preferred_element_type=jnp.float32).astype(dt)
     qkv = qkv + bqkv.astype(dt)[None, None]
     qkv = qkv.reshape(bnw, t, 3, nh, hd)
     q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
     s = jnp.einsum("bhtd,bhsd->bhts", q * (hd ** -0.5), k,
-                   preferred_element_type=jnp.float32)
-    s = s + bias.astype(jnp.float32)[None]
+                   preferred_element_type=acc_t)
+    s = s + bias.astype(acc_t)[None]
     if shifted:
         nwh, nww = grid_hw
-        mask = jnp.asarray(_full_shift_mask(window_size, shift_size, nwh, nww))
+        mask = jnp.asarray(
+            _full_shift_mask(window_size, shift_size, nwh, nww), acc_t)
         s = s.reshape(-1, nwh * nww, nh, t, t) + mask[None, :, None]
         s = s.reshape(bnw, nh, t, t)
     probs = jax.nn.softmax(s, axis=-1).astype(dt)
     o = jnp.einsum("bhts,bhsd->bhtd", probs, v,
-                   preferred_element_type=jnp.float32).astype(dt)
+                   preferred_element_type=acc_t).astype(dt)
     o = jnp.transpose(o, (0, 2, 1, 3)).reshape(bnw, t, c)
     out = jnp.dot(o, wproj.astype(dt),
                   preferred_element_type=jnp.float32).astype(dt)
@@ -320,17 +346,19 @@ def _xla_forward(x, wqkv, bqkv, wproj, bproj, bias, *, num_heads, shifted,
 
 
 def _kernel_call(x, wqkv, bqkv, wproj, bproj, bias, *, num_heads,
-                 window_size, shift_size, grid_hw, out_dtype, interpret):
+                 window_size, shift_size, grid_hw, out_dtype, interpret,
+                 attn_f32=True):
     bnw, t, c = x.shape
     shifted = shift_size > 0
     mask = jnp.asarray(
         shift_mask_patterns(window_size, shift_size if shifted else 1))
     call = _build_call(bnw, t, c, num_heads, shifted, grid_hw[0], grid_hw[1],
-                       str(x.dtype), str(jnp.dtype(out_dtype)), interpret)
+                       str(x.dtype), str(jnp.dtype(out_dtype)), interpret,
+                       attn_f32)
     dt = x.dtype
     return call(x, wqkv.astype(dt), bqkv.reshape(1, 3 * c).astype(dt),
                 wproj.astype(dt), bproj.reshape(1, c).astype(dt),
-                bias.astype(jnp.float32), mask)
+                bias.astype(jnp.float32 if attn_f32 else dt), mask)
 
 
 def _pick_bw_bwd(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
@@ -357,9 +385,13 @@ def _pick_bw_bwd(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
 
 
 def _bwd_kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
-                     nwh: int, nww: int, dt):
+                     nwh: int, nww: int, dt, attn_f32: bool = True):
     hd = c // nh
     scale = hd ** -0.5
+    # attn_f32=False: scores/probs recompute in the compute dtype (matching
+    # the forward); the softmax-backward algebra and every weight-grad
+    # accumulator stay f32 (p promotes where it meets f32 dp/ds).
+    acc_t = jnp.float32 if attn_f32 else jnp.dtype(dt)
 
     def body(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, bias_ref, mask_ref,
              dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dbias_ref,
@@ -385,7 +417,7 @@ def _bwd_kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                 widx = (i * bw + w) % (nwh * nww)
                 li = (widx // nww == nwh - 1).astype(jnp.int32)
                 lj = (widx % nww == nww - 1).astype(jnp.int32)
-                msel = mask_ref[li * 2 + lj]  # (T, T) f32
+                msel = mask_ref[li * 2 + lj].astype(acc_t)  # (T, T)
             # dbproj = sum_t g ; do = g @ Wproj^T
             dbproj_ref[0] += jnp.sum(g.astype(jnp.float32), axis=0)
             do = lax.dot_general(
@@ -399,11 +431,17 @@ def _bwd_kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                 s = lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * scale
-                s = s + bias_ref[h]
+                ).astype(acc_t) * scale
+                s = s + bias_ref[h].astype(acc_t)
                 if shifted:
                     s = s + msel
-                if _FAST_SOFTMAX:
+                if not attn_f32:
+                    # bf16 scores: per-row max shift (the f32 static-shift
+                    # trick is invalid in bf16 — see the forward body)
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    e = jnp.exp(s - m)
+                    p = e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-37)
+                elif _FAST_SOFTMAX:
                     # static-shift softmax (see module note): same
                     # pass-elimination win as the forward; the softmax
                     # backward algebra below needs explicit normalized p,
@@ -411,7 +449,7 @@ def _bwd_kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                     e = jnp.exp(s - 30.0)
                     p = e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-37)
                 else:
-                    p = jax.nn.softmax(s, axis=-1)      # f32 (T, T)
+                    p = jax.nn.softmax(s, axis=-1)      # acc_t (T, T)
                 pc = p.astype(dt)
                 o_scr[:, h * hd:(h + 1) * hd] = lax.dot_general(
                     pc, v, (((1,), (0,)), ((), ())),
@@ -452,13 +490,14 @@ def _bwd_kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
 
 @lru_cache(maxsize=None)
 def _build_bwd_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
-                    nwh: int, nww: int, in_dtype_str: str, interpret: bool):
+                    nwh: int, nww: int, in_dtype_str: str, interpret: bool,
+                    attn_f32: bool = True):
     dt = jnp.dtype(in_dtype_str)
     itemsize = dt.itemsize
     bw = _pick_bw_bwd(bnw, t, c, nh, itemsize)
     if bw == 0:
         return None
-    body = _bwd_kernel_body(nh, t, c, bw, shifted, nwh, nww, dt)
+    body = _bwd_kernel_body(nh, t, c, bw, shifted, nwh, nww, dt, attn_f32)
     rep = lambda i: (0, 0)
     rep3 = lambda i: (0, 0, 0)
     call = pl.pallas_call(
@@ -507,13 +546,14 @@ def _build_bwd_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
 
 
 def _kernel_bwd(res, g, *, num_heads, window_size, shift_size, grid_hw,
-                interpret):
+                interpret, attn_f32=True):
     """Pallas backward; returns None when the geometry doesn't fit VMEM."""
     x, wqkv, bqkv, wproj, bproj, bias = res
     bnw, t, c = x.shape
     shifted = shift_size > 0
     call = _build_bwd_call(bnw, t, c, num_heads, shifted,
-                           grid_hw[0], grid_hw[1], str(x.dtype), interpret)
+                           grid_hw[0], grid_hw[1], str(x.dtype), interpret,
+                           attn_f32)
     if call is None:
         return None
     dt = x.dtype
@@ -532,10 +572,10 @@ def _kernel_bwd(res, g, *, num_heads, window_size, shift_size, grid_hw,
 
 @lru_cache(maxsize=None)
 def _vjp_fn(num_heads, window_size, shift_size, nwh, nww, out_dtype_str,
-            interpret):
+            interpret, attn_f32=True):
     statics = dict(num_heads=num_heads, window_size=window_size,
                    shift_size=shift_size, grid_hw=(nwh, nww),
-                   out_dtype=jnp.dtype(out_dtype_str))
+                   out_dtype=jnp.dtype(out_dtype_str), attn_f32=attn_f32)
 
     @jax.custom_vjp
     def f(x, wqkv, bqkv, wproj, bproj, bias):
@@ -555,7 +595,8 @@ def _vjp_fn(num_heads, window_size, shift_size, nwh, nww, out_dtype_str,
             grads = _kernel_bwd(res, g, num_heads=num_heads,
                                 window_size=window_size,
                                 shift_size=shift_size,
-                                grid_hw=(nwh, nww), interpret=interpret)
+                                grid_hw=(nwh, nww), interpret=interpret,
+                                attn_f32=attn_f32)
             if grads is not None:
                 return grads
         # geometry too wide for the backward kernel's VMEM budget
@@ -572,8 +613,8 @@ def fused_window_attention(x: jax.Array, wqkv, bqkv, wproj, bproj,
                            bias: jax.Array, *,
                            num_heads: int, window_size: int, shift_size: int,
                            grid_hw: tuple[int, int],
-                           out_dtype=None, interpret: bool | None = None
-                           ) -> jax.Array:
+                           out_dtype=None, interpret: bool | None = None,
+                           attn_f32: bool = True) -> jax.Array:
     """Windowed MHA (qkv projection -> attention -> output projection) over
     partitioned feature windows, weights VMEM-resident. Differentiable: the
     custom VJP recomputes through the XLA twin (see module docstring).
@@ -582,13 +623,16 @@ def fused_window_attention(x: jax.Array, wqkv, bqkv, wproj, bproj,
     shift_size > 0, windows in row-major (wi, wj) order per image).
     wqkv/bqkv/wproj/bproj: TorchLinear params. bias: (nh, T, T) float32
     relative-position bias (gathered from the table). grid_hw: (nwh, nww)
-    padded window grid, for mask selection. Returns (B*nW, T, C).
+    padded window grid, for mask selection. attn_f32=False is the model's
+    opt-in speed knob (swin.py:WindowAttention.attn_f32): scores/softmax in
+    the compute dtype instead of f32, forward and backward recompute alike.
+    Returns (B*nW, T, C).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     out_dtype = out_dtype or x.dtype
     f = _vjp_fn(num_heads, window_size, shift_size, grid_hw[0], grid_hw[1],
-                str(jnp.dtype(out_dtype)), interpret)
+                str(jnp.dtype(out_dtype)), interpret, attn_f32)
     return f(x, wqkv, bqkv, wproj, bproj, bias)
 
 

@@ -120,6 +120,87 @@ def test_grad_through_module_matches_xla(shift):
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.parametrize("shift", [0, 2])
+def test_fused_window_attention_attn_f32_false_f32_inputs(shift):
+    """attn_f32=False with f32 inputs: acc_t == dt == f32, so the kernel
+    must still match the XLA path at the strict tolerances."""
+    b, hp, wp, c, nh, ws = 2, 8, 12, 128, 4, 4
+    y = jnp.asarray(
+        np.random.default_rng(7).normal(size=(b, hp, wp, c)), jnp.float32
+    )
+    kw = dict(dim=c, num_heads=nh, table_window=ws, window_size=(ws, ws),
+              shift_size=shift, attn_f32=False)
+    ref = WindowAttention(kernel_mode="off", **kw)
+    ker = WindowAttention(kernel_mode="on", **kw)
+    variables = ref.init(jax.random.key(1), y)
+    want = ref.apply(variables, y)
+    got = ker.apply(variables, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_window_attention_attn_f32_false_bf16():
+    """attn_f32=False + bf16 inputs: the kernel's compute-dtype softmax vs
+    the XLA path's (same contract) and vs the f32-softmax reference — the
+    knob's error must stay in the bf16-rounding regime."""
+    b, hp, wp, c, nh, ws = 1, 8, 8, 128, 4, 4
+    y32 = jnp.asarray(
+        np.random.default_rng(11).normal(size=(b, hp, wp, c)), jnp.float32
+    )
+    y16 = y32.astype(jnp.bfloat16)
+    kw = dict(dim=c, num_heads=nh, table_window=ws, window_size=(ws, ws),
+              shift_size=2)
+    ref32 = WindowAttention(kernel_mode="off", attn_f32=True, **kw)
+    xla16 = WindowAttention(kernel_mode="off", attn_f32=False, **kw)
+    ker16 = WindowAttention(kernel_mode="on", attn_f32=False, **kw)
+    variables = ref32.init(jax.random.key(1), y32)
+    want32 = np.asarray(ref32.apply(variables, y32))
+    got_x = np.asarray(xla16.apply(variables, y16)).astype(np.float32)
+    got_k = np.asarray(ker16.apply(variables, y16)).astype(np.float32)
+    denom = np.maximum(np.abs(want32), 1e-2)
+    # both bf16-softmax lowerings stay close to the f32 reference...
+    assert np.median(np.abs(got_x - want32) / denom) < 0.02
+    assert np.median(np.abs(got_k - want32) / denom) < 0.02
+    # ...and to each other (same reduced-precision contract)
+    assert np.median(np.abs(got_k - got_x) / denom) < 0.02
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_pallas_backward_attn_f32_false(shift):
+    """Backward kernel with attn_f32=False vs jax.vjp through the matching
+    XLA twin (f32 inputs so dt == f32: strict tolerances apply)."""
+    from functools import partial
+
+    from flair_for_aigle_tpu.ops.pallas import window_attn as wa
+
+    nwh, nww = 2, 3
+    bnw, t, c, nh, ws = 2 * nwh * nww, 16, 128, 4, 4
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * c,)) * 0.05, jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.05, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(c,)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nh, t, t)) * 0.5, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.float32)
+
+    args = (x, wqkv, bqkv, wproj, bproj, bias)
+    got = wa._kernel_bwd(args, g, num_heads=nh, window_size=ws,
+                         shift_size=shift, grid_hw=(nwh, nww),
+                         interpret=True, attn_f32=False)
+    assert got is not None
+    ref_f = partial(wa._xla_forward, num_heads=nh, shifted=shift > 0,
+                    window_size=ws, shift_size=shift, grid_hw=(nwh, nww),
+                    out_dtype=jnp.float32, attn_f32=False)
+    _, pullback = jax.vjp(ref_f, *args)
+    want = pullback(g)
+    names = ["dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias"]
+    for name, a, b_ in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=5e-4, atol=5e-4, err_msg=name)
+
+
 def test_fused_window_attention_bf16_close():
     b, hp, wp, c, nh, ws = 1, 8, 8, 128, 4, 4
     y32 = jnp.asarray(

@@ -21,7 +21,8 @@ from flair_for_aigle_tpu.ops.pallas.epilogue import upsample_crop_convert
 import os as _o
 B, S, MARGIN = int(_o.getenv("PB", "16")), 512, 40
 DT = jnp.bfloat16
-enc = SwinTransformerEncoder(in_channels=3)
+AF32 = _o.getenv("PAF32", "1") == "1"  # PAF32=0: bf16 scores (attn_f32 knob)
+enc = SwinTransformerEncoder(in_channels=3, attn_f32=AF32)
 x = jnp.zeros((B, S, S, 3), DT)
 enc_vars = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
 dec = UPerNetDecoder()
