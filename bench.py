@@ -4,8 +4,11 @@
 End-to-end per the BASELINE.md north star: read -> tile -> infer -> stitch
 -> write for 1 km² of synthetic 20 cm imagery (5000x5000 px, 3-band uint8)
 with the flagship swin_base_patch4_window12_384-upernet model (512 px
-patches, 40 px margin, batch 8 — the reference zonal defaults,
-configs/config_model_zonal_segmentation.yaml:17-21). Weights are random
+patches, 40 px margin — the reference zonal defaults,
+configs/config_model_zonal_segmentation.yaml:17-21 — at batch 16: the
+reference default is batch 8, but batch is a free deployment knob and 16
+is this framework's measured-fastest on v5e; the artifact's
+detail.batch records it). Weights are random
 (throughput is weight-independent); compute in bfloat16 with float32 logit
 epilogue. A small warmup raster triggers compilation before timing.
 

@@ -17,10 +17,15 @@ step is bandwidth-bound). The kernel's HBM traffic is one read of the
 feature windows, one write of the projected output, and one read of the
 weights per grid pass.
 
-Numerics match the attn_f32=True XLA path: scores/softmax accumulate in
-float32, probabilities are cast to the compute dtype before the PV matmul
-(exactly what models/swin.py:WindowAttention does), bias and mask stay
-float32.
+Numerics follow the model's attn_f32 knob (swin.py:WindowAttention), in
+the forward AND the backward recompute alike. Default attn_f32=True:
+scores/softmax accumulate in float32 (static-shift + deferred-norm fast
+form, overflow-clamped at 80), probabilities are cast to the compute
+dtype before the PV matmul, bias and mask stay float32 — matching the
+attn_f32=True XLA path. attn_f32=False (opt-in speed knob): scores and
+softmax run in the compute dtype with the classic per-row max shift (the
+static shift is invalid in bf16 — ulp at magnitude 30 is 0.125), bias is
+pre-cast to the compute dtype, matching the XLA path's acc_t = x.dtype.
 
 Shift-mask banking: timm's shifted-window mask (swin.py:_shift_attn_mask)
 assigns each token a 3x3 band id; within one window the resulting (T, T)
@@ -120,25 +125,29 @@ def shift_mask_patterns(ws: int, ss: int) -> np.ndarray:
     return np.stack([ar, ac, ar * ac])
 
 
-def _pick_bw(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
+def _pick_bw(bnw: int, t: int, c: int, nh: int, itemsize: int,
+             acc: int = 4) -> int:
     """Largest window-batch size that divides bnw and fits VMEM (~12 MB
     budget: resident qkv/proj weights, double-buffered x/out blocks, bias,
-    mask patterns, the live (bw, T, 3C) qkv, per-head f32 scores and the
-    (bw, T, T) shift mask)."""
+    mask patterns, the live (bw, T, 3C) qkv, per-head scores and the
+    (bw, T, T) shift mask). ``acc`` is the softmax accumulation itemsize
+    (4 for attn_f32, the compute itemsize otherwise) — keying the dominant
+    score-tile terms on the actual dtype lets the bf16-score mode pick a
+    bigger window batch."""
     t_pad = -(-t // 128) * 128  # scores lane padding
     fixed = (nh * t * t * 4 + 3 * t * t * 4
              + 4 * c * c * itemsize + 2 * 3 * c * itemsize)
     for bw in (32, 16, 8, 4, 2, 1):
         if bnw % bw:
             continue
-        per = bw * (t * 2 * c * itemsize * 2      # x + out, double-buffered
-                    + t * 3 * c * itemsize        # qkv (compute dtype)
-                    + t * 3 * c * 4               # qkv f32 accum pre-cast
-                    + t * c * itemsize            # o scratch
-                    + t * c * 4                   # out f32 accum pre-cast
-                    + t * t_pad * (4 + itemsize)  # scores f32 + probs
-                    + t * t_pad * 4               # softmax temp
-                    + t * t * 4)                  # broadcast shift mask f32
+        per = bw * (t * 2 * c * itemsize * 2        # x + out, double-buffered
+                    + t * 3 * c * itemsize          # qkv (compute dtype)
+                    + t * 3 * c * 4                 # qkv f32 accum pre-cast
+                    + t * c * itemsize              # o scratch
+                    + t * c * 4                     # out f32 accum pre-cast
+                    + t * t_pad * (acc + itemsize)  # scores acc_t + probs
+                    + t * t_pad * acc               # softmax temp
+                    + t * t * acc)                  # broadcast shift mask
         if fixed + per <= int(float(_os.getenv("FLAIR_ATTN_VMEM_MB", "12")) * (1 << 20)):
             return bw
     return 1
@@ -216,7 +225,12 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                 # deferred normalization: the value matmul is linear, so
                 # divide the (T, hd) product instead of the (T, T) probs
                 # (4.5x fewer divides at T=144, hd=32); sum stays f32.
-                e = jnp.exp(s - 30.0)
+                # min(s, 80) overflow guard: exp(80-30) ~ 5e21 stays finite
+                # in f32, so a pathological score spike (training warmup,
+                # corrupted weights) saturates the row toward its clamped
+                # argmax instead of producing inf/NaN. One VPU op; measured
+                # free on v5e (same-phase A/B, see CLAUDE.md round 5).
+                e = jnp.exp(jnp.minimum(s, 80.0) - 30.0)
                 denom = jnp.sum(e, axis=-1, keepdims=True) + 1e-37
                 o = lax.dot_general(
                     e.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
@@ -233,7 +247,8 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                     # denom guard: a no-op below one f32 ulp of any
                     # realistic denominator, but the impossible all-
                     # underflow row degrades to zeros instead of NaN.
-                    e = jnp.exp(s - 30.0)
+                    # min(s, 80): overflow guard, see the level-2 branch.
+                    e = jnp.exp(jnp.minimum(s, 80.0) - 30.0)
                     probs = (e / (jnp.sum(e, axis=-1, keepdims=True)
                                   + 1e-37)).astype(dt)
                 else:
@@ -259,7 +274,7 @@ def _build_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
                 interpret: bool, attn_f32: bool = True):
     out_dtype = jnp.dtype(out_dtype_str)
     itemsize = jnp.dtype(in_dtype_str).itemsize
-    bw = _pick_bw(bnw, t, c, nh, itemsize)
+    bw = _pick_bw(bnw, t, c, nh, itemsize, 4 if attn_f32 else itemsize)
     body = _kernel_body(nh, t, c, bw, shifted, nwh, nww, out_dtype, attn_f32)
     hd = c // nh
     n_inst = bnw // bw
@@ -361,12 +376,14 @@ def _kernel_call(x, wqkv, bqkv, wproj, bproj, bias, *, num_heads,
                 bias.astype(jnp.float32 if attn_f32 else dt), mask)
 
 
-def _pick_bw_bwd(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
+def _pick_bw_bwd(bnw: int, t: int, c: int, nh: int, itemsize: int,
+                 acc: int = 4) -> int:
     """Window-batch size for the backward kernel (0 = does not fit VMEM).
 
     Fixed residents: Wqkv/Wproj (compute dtype), their f32 grads, bias +
     its f32 grad, the 4-pattern mask bank; per-window: x/g/dx blocks
-    (double-buffered) and the f32 dqkv scratch."""
+    (double-buffered) and the f32 dqkv scratch. ``acc`` is the score
+    recompute itemsize (4 for attn_f32, compute itemsize otherwise)."""
     t_pad = -(-t // 128) * 128
     fixed = (4 * c * c * itemsize            # Wqkv + Wproj resident
              + 4 * c * c * 4                 # dWqkv + dWproj (f32)
@@ -374,7 +391,7 @@ def _pick_bw_bwd(bnw: int, t: int, c: int, nh: int, itemsize: int) -> int:
              + 4 * t * t * 4                 # mask bank
              + t * 3 * c * 4                 # dqkv scratch (f32)
              + t * c * itemsize              # o scratch
-             + 2 * nh * t * t_pad * 4)       # live f32 score tiles
+             + 2 * nh * t * t_pad * acc)     # live score tiles
     for bw in (8, 4, 2, 1):
         if bnw % bw or bw * nh > 32:
             continue
@@ -446,7 +463,13 @@ def _bwd_kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                     # pass-elimination win as the forward; the softmax
                     # backward algebra below needs explicit normalized p,
                     # so the deferred-normalization trick stays fwd-only.
-                    e = jnp.exp(s - 30.0)
+                    # min(s, 80) overflow guard as in the forward: a score
+                    # spike under training dynamics saturates instead of
+                    # NaN-ing the gradients (the clamp's own derivative is
+                    # ignored — exact whenever no clamping occurs, which is
+                    # every realistic step; a clamped row's grad is the
+                    # saturated-softmax grad, finite and well-scaled).
+                    e = jnp.exp(jnp.minimum(s, 80.0) - 30.0)
                     p = e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-37)
                 else:
                     p = jax.nn.softmax(s, axis=-1)      # acc_t (T, T)
@@ -494,7 +517,7 @@ def _build_bwd_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
                     attn_f32: bool = True):
     dt = jnp.dtype(in_dtype_str)
     itemsize = dt.itemsize
-    bw = _pick_bw_bwd(bnw, t, c, nh, itemsize)
+    bw = _pick_bw_bwd(bnw, t, c, nh, itemsize, 4 if attn_f32 else itemsize)
     if bw == 0:
         return None
     body = _bwd_kernel_body(nh, t, c, bw, shifted, nwh, nww, dt, attn_f32)

@@ -217,3 +217,129 @@ def test_fused_window_attention_bf16_close():
     err = np.abs(np.asarray(got) - np.asarray(want))
     denom = np.maximum(np.abs(np.asarray(want)), 1e-2)
     assert np.median(err / denom) < 0.02
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_extreme_scores_finite_and_match_xla(shift):
+    """Overflow-guard regression (VERDICT r4 ask #2): a +200 score spike
+    (far beyond exp's f32 range without a shift) must produce finite
+    probs/grads from the fast-softmax kernel AND agree with the safe XLA
+    softmax — the min(s, 80) clamp leaves a single dominant entry's
+    softmax unchanged (clamped spike still wins by e^80)."""
+    from functools import partial
+
+    from flair_for_aigle_tpu.ops.pallas import window_attn as wa
+
+    nwh, nww = 2, 3
+    bnw, t, c, nh, ws = 2 * nwh * nww, 16, 128, 4, 4
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * c,)) * 0.05, jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.05, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(c,)) * 0.05, jnp.float32)
+    # one +200 spike per score row, scattered across columns/heads
+    bias_np = rng.normal(size=(nh, t, t)).astype(np.float32) * 0.5
+    for h in range(nh):
+        for i in range(t):
+            bias_np[h, i, (i * 7 + h) % t] = 200.0
+    bias = jnp.asarray(bias_np)
+    g = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.float32)
+
+    args = (x, wqkv, bqkv, wproj, bproj, bias)
+    got = wa._kernel_call(*args, num_heads=nh, window_size=ws,
+                          shift_size=shift, grid_hw=(nwh, nww),
+                          out_dtype=jnp.float32, interpret=True)
+    assert np.all(np.isfinite(np.asarray(got))), "fwd NaN/inf at score 200"
+    ref_f = partial(wa._xla_forward, num_heads=nh, shifted=shift > 0,
+                    window_size=ws, shift_size=shift, grid_hw=(nwh, nww),
+                    out_dtype=jnp.float32)
+    want = ref_f(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    gots = wa._kernel_bwd(args, g, num_heads=nh, window_size=ws,
+                          shift_size=shift, grid_hw=(nwh, nww),
+                          interpret=True)
+    assert gots is not None
+    _, pullback = jax.vjp(ref_f, *args)
+    wants = pullback(g)
+    names = ["dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias"]
+    for name, a, b_ in zip(names, gots, wants):
+        a = np.asarray(a, np.float32)
+        assert np.all(np.isfinite(a)), f"{name} NaN/inf at score 200"
+        np.testing.assert_allclose(a, np.asarray(b_, np.float32),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_saturated_scores_stay_finite():
+    """Every score driven past the clamp (all +200): probabilities and
+    grads degrade to the saturated-uniform regime but must stay finite —
+    this is exactly the pathological-spike case the clamp exists for
+    (numerics intentionally diverge from XLA's max-shifted softmax here,
+    so only finiteness is asserted)."""
+    from flair_for_aigle_tpu.ops.pallas import window_attn as wa
+
+    nwh, nww = 2, 2
+    bnw, t, c, nh, ws = nwh * nww, 16, 128, 4, 4
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.05, jnp.float32)
+    bqkv = jnp.zeros((3 * c,), jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.05, jnp.float32)
+    bproj = jnp.zeros((c,), jnp.float32)
+    bias = jnp.full((nh, t, t), 200.0, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.float32)
+
+    args = (x, wqkv, bqkv, wproj, bproj, bias)
+    got = wa._kernel_call(*args, num_heads=nh, window_size=ws,
+                          shift_size=0, grid_hw=(nwh, nww),
+                          out_dtype=jnp.float32, interpret=True)
+    assert np.all(np.isfinite(np.asarray(got)))
+    gots = wa._kernel_bwd(args, g, num_heads=nh, window_size=ws,
+                          shift_size=0, grid_hw=(nwh, nww), interpret=True)
+    assert gots is not None
+    for a in gots:
+        assert np.all(np.isfinite(np.asarray(a, np.float32)))
+
+
+def test_pallas_backward_attn_f32_false_bf16():
+    """bf16 backward numerics for attn_f32=False (ADVICE r4): kernel bwd
+    vs the XLA twin's vjp on bf16 inputs — finite grads, median relative
+    error in the bf16-rounding regime."""
+    from functools import partial
+
+    from flair_for_aigle_tpu.ops.pallas import window_attn as wa
+
+    nwh, nww = 2, 3
+    bnw, t, c, nh, ws = 2 * nwh * nww, 16, 128, 4, 4
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.bfloat16)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.05, jnp.bfloat16)
+    bqkv = jnp.asarray(rng.normal(size=(3 * c,)) * 0.05, jnp.bfloat16)
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.05, jnp.bfloat16)
+    bproj = jnp.asarray(rng.normal(size=(c,)) * 0.05, jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(nh, t, t)) * 0.5, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.bfloat16)
+
+    args = (x, wqkv, bqkv, wproj, bproj, bias)
+    got = wa._kernel_bwd(args, g, num_heads=nh, window_size=ws,
+                         shift_size=2, grid_hw=(nwh, nww),
+                         interpret=True, attn_f32=False)
+    assert got is not None
+    ref_f = partial(wa._xla_forward, num_heads=nh, shifted=True,
+                    window_size=ws, shift_size=2, grid_hw=(nwh, nww),
+                    out_dtype=jnp.bfloat16, attn_f32=False)
+    _, pullback = jax.vjp(ref_f, *args)
+    want = pullback(g.astype(jnp.bfloat16))
+    names = ["dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias"]
+    for name, a, b_ in zip(names, got, want):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        assert np.all(np.isfinite(a)), f"{name} not finite"
+        denom = np.maximum(np.abs(b_), 1e-2)
+        # 0.04: the kernel accumulates weight grads in f32 VMEM while the
+        # XLA twin's autodiff reduces through bf16 intermediates, so the
+        # two sides differ by bf16 accumulation-order noise (measured
+        # median ~0.026 on dbqkv), not by algebra.
+        assert np.median(np.abs(a - b_) / denom) < 0.04, name
