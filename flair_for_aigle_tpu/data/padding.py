@@ -12,10 +12,15 @@ are reused across batches instead of recompiling per unique T.
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Any, Dict, List, Sequence
 
 import numpy as np
+
+from flair_for_aigle_tpu.data.sentinel import select_keep_indices
+
+logger = logging.getLogger(__name__)
 
 TO_PAD_KEYS = [
     "SENTINEL2_TS", "SENTINEL2_DATES",
@@ -25,9 +30,21 @@ TO_PAD_KEYS = [
 
 
 def pad_tensor(x: np.ndarray, length: int, pad_value: float = 0) -> np.ndarray:
+    """Pad (T, ...) to ``length`` — or truncate per the unified T-overflow
+    policy (data/sentinel.py:select_keep_indices, even temporal
+    subsampling: collate has no per-date cloud scores). The keep indices
+    depend only on (T, length), so a sample's ``*_TS`` and ``*_DATES``
+    entries — equal T, collated independently — stay aligned."""
     padlen = length - x.shape[0]
-    if padlen <= 0:
+    if padlen == 0:
         return x
+    if padlen < 0:
+        logger.warning(
+            "collate: sample has %d dates > fixed T %d: dropping %d by even "
+            "temporal subsampling (reference pads to the batch max and "
+            "never drops — raise fixed_t to avoid)",
+            x.shape[0], length, -padlen)
+        return x[select_keep_indices(x.shape[0], length)]
     pad = np.full((padlen, *x.shape[1:]), pad_value, dtype=x.dtype)
     return np.concatenate([x, pad], axis=0)
 

@@ -11,9 +11,12 @@ Behavioral ports of flair_hub/data/utils_data/sentinel.py:
 from __future__ import annotations
 
 import datetime
+import logging
 from typing import Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def reshape_sentinel(arr: np.ndarray, chunk_size: int = 10) -> np.ndarray:
@@ -107,10 +110,46 @@ def temporal_average(
     raise ValueError("Period must be either 'monthly' or 'semi-monthly'.")
 
 
-def pad_to_fixed_t(
-    arr: np.ndarray, target_t: int, pad_value: float = 0.0
+def select_keep_indices(
+    t: int, target_t: int, coverage: np.ndarray | None = None
 ) -> np.ndarray:
-    """Pad (T, ...) along axis 0 to target_t — or TRUNCATE the newest dates.
+    """Unified T-overflow policy: which ``target_t`` of ``t`` dates to KEEP.
+
+    The reference never drops dates (it pads every batch to its max T,
+    flair_hub/data/utils_data/padding.py:48-88); a fixed-T TPU bucket can
+    overflow, and the single framework-wide rule for that case is:
+
+    * ``coverage`` given (per-date invalid-pixel fraction/count from the
+      cloud/snow masks, higher = worse): drop the WORST-covered dates
+      first. Ties keep the earlier date (stable sort), so equally-clean
+      series degrade to oldest-kept rather than an arbitrary order.
+    * no ``coverage``: evenly subsample the time axis (keeps the seasonal
+      spread; truncating by recency would silently discard a whole
+      season).
+
+    Returns sorted (chronological) kept indices. Callers must apply the
+    SAME indices to the data and its date offsets.
+    """
+    if target_t >= t:
+        return np.arange(t)
+    if coverage is not None:
+        coverage = np.asarray(coverage)
+        if coverage.shape[0] != t:
+            raise ValueError(
+                f"coverage has {coverage.shape[0]} entries for T={t}")
+        return np.sort(np.argsort(coverage, kind="stable")[:target_t])
+    return np.round(np.linspace(0, t - 1, target_t)).astype(np.int64)
+
+
+def pad_to_fixed_t(
+    arr: np.ndarray,
+    target_t: int,
+    pad_value: float = 0.0,
+    coverage: np.ndarray | None = None,
+    what: str = "time series",
+) -> np.ndarray:
+    """Pad (T, ...) along axis 0 to target_t — or truncate per the unified
+    overflow policy (``select_keep_indices``), warning with counts.
 
     TPU addition: fixing T avoids per-batch recompilation under jit; the
     U-TAE pad mask makes padded frames inert (models/utae.py).
@@ -119,6 +158,13 @@ def pad_to_fixed_t(
     if t == target_t:
         return arr
     if t > target_t:
-        return arr[:target_t]
+        keep = select_keep_indices(t, target_t, coverage)
+        logger.warning(
+            "%s has %d dates > fixed T bucket %d: dropping %d by %s "
+            "(reference keeps all dates; raise fixed_time_steps to avoid)",
+            what, t, target_t, t - target_t,
+            "cloud-cover rank" if coverage is not None
+            else "even temporal subsampling")
+        return arr[keep]
     pad = np.full((target_t - t, *arr.shape[1:]), pad_value, dtype=arr.dtype)
     return np.concatenate([arr, pad], axis=0)

@@ -160,9 +160,15 @@ class MultiModalSlicedDataset:
         return patch
 
     def _process_time_series_patch(self, mod_name, patch, window, cfg):
+        """Returns (patch, diffs, coverage): coverage is the per-date
+        invalid-pixel fraction from the cloud/snow masks (None when no mask
+        or after temporal averaging) — it feeds the unified T-overflow
+        policy (data/sentinel.py:select_keep_indices) so a fixed-T bucket
+        drops the worst-covered dates first, not the newest."""
         patch = reshape_sentinel(patch, chunk_size=len(cfg["channels"]))
         dates = self.diff_dates[mod_name]["dates"]
         diffs = self.diff_dates[mod_name]["diff_dates"]
+        coverage = None
 
         if mod_name == "SENTINEL2_TS" and self.mask_reader is not None:
             n_t = len(dates)
@@ -179,17 +185,23 @@ class MultiModalSlicedDataset:
             )
             msk = reshape_sentinel(msk, chunk_size=2)
             valid = filter_time_series(msk)
+            # per-date invalid fraction (cloud ch1 / snow ch0 above the
+            # filter_time_series default thresholds)
+            coverage = np.mean(
+                (msk[:, 1] > 1) | (msk[:, 0] > 1), axis=(1, 2))
             if valid.sum() > 0:
                 patch = patch[valid]
                 dates = dates[valid]
                 diffs = diffs[valid]
+                coverage = coverage[valid]
 
         if cfg.get("temporal_average", False):
             patch, diffs = temporal_average(
                 patch, list(dates), period=cfg.get("average_period", "monthly"),
                 ref_date=self.ref_date_str,
             )
-        return patch, diffs
+            coverage = None  # T axis is now periods, not the masked dates
+        return patch, diffs, coverage
 
     def __len__(self):
         return len(self.tiles)
@@ -205,15 +217,18 @@ class MultiModalSlicedDataset:
             patch, window = self._load_patch(reader, bounds, cfg, patch_size,
                                              mod_name)
             if mod_name.endswith("_TS"):
-                patch, diffs = self._process_time_series_patch(
+                patch, diffs, coverage = self._process_time_series_patch(
                     mod_name, patch, window, cfg
                 )
                 if self.fixed_t:
+                    # same coverage -> same kept indices for data and dates
                     patch = pad_to_fixed_t(
-                        patch.astype(np.float32), self.fixed_t, 0.0
+                        patch.astype(np.float32), self.fixed_t, 0.0,
+                        coverage=coverage, what=mod_name,
                     )
                     diffs = pad_to_fixed_t(
-                        np.asarray(diffs, np.float32), self.fixed_t, 0.0
+                        np.asarray(diffs, np.float32), self.fixed_t, 0.0,
+                        coverage=coverage, what=mod_name + " dates",
                     )
                 tile_data[mod_name] = np.asarray(patch, np.float32)
                 tile_data[mod_name.replace("_TS", "_DATES")] = np.asarray(
