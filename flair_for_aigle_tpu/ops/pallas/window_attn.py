@@ -48,9 +48,15 @@ dbproj, dbias) in f32 VMEM across the sequential TPU grid — so the
 backward's HBM traffic is one read of x and g and one write of dx plus the
 small weight grads, while the XLA autodiff of the same math materializes
 four (B*nW, nh, T, T) score-sized tensors (s, probs, dp, ds) per block.
-Widths whose f32 weight-grad buffers blow the VMEM budget (swin stage 4,
-C=1024) fall back to the round-3 XLA-recompute twin (``_xla_forward``),
-which stays bit-identical to the kernel forward's semantics.
+
+Widths whose all-heads-resident f32 weight-grad buffers blow the VMEM
+budget (swin stages 3-4, C=512/1024) use the HEAD-CHUNKED variant
+(``_bwd_chunked_body``, round 5): grid (nh//hc, n_window_batches) with the
+head chunk outer, so each chunk's weight/bias grads stay VMEM-resident and
+accumulate across windows; dx is emitted as nh//hc partials summed by XLA.
+If even hc=1 doesn't fit, the round-3 XLA-recompute twin
+(``_xla_forward``) — bit-identical to the kernel forward's semantics —
+remains the fallback (also reachable via FLAIR_ATTN_BWD=xla).
 """
 
 from __future__ import annotations
@@ -80,6 +86,17 @@ from jax.experimental.pallas import tpu as pltpu
 # A/B/A 299.7 / 311.3 / 299.4). Interpret parity green vs the safe XLA
 # softmax at existing tolerances for both levels.
 _FAST_SOFTMAX = int(_os.getenv("FLAIR_ATTN_FAST_SOFTMAX", "2"))
+# Overflow-guard clamp on the fast-softmax score tiles (see the kernel
+# bodies): exp(min(s, C) - 30) stays finite in f32 for C <= ~118. Knob
+# exists for A/B measurement (FLAIR_ATTN_CLAMP=inf reproduces the r4
+# unguarded form); measured free on v5e — leave at 80.
+_CLAMP = float(_os.getenv("FLAIR_ATTN_CLAMP", "80"))
+
+
+def _guard(s):
+    """min(s, clamp); FLAIR_ATTN_CLAMP=inf elides the op entirely (the r4
+    unguarded form, kept only for same-phase A/B measurement)."""
+    return jnp.minimum(s, _CLAMP) if np.isfinite(_CLAMP) else s
 
 
 @lru_cache(maxsize=None)
@@ -230,7 +247,7 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                 # corrupted weights) saturates the row toward its clamped
                 # argmax instead of producing inf/NaN. One VPU op; measured
                 # free on v5e (same-phase A/B, see CLAUDE.md round 5).
-                e = jnp.exp(jnp.minimum(s, 80.0) - 30.0)
+                e = jnp.exp(_guard(s) - 30.0)
                 denom = jnp.sum(e, axis=-1, keepdims=True) + 1e-37
                 o = lax.dot_general(
                     e.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
@@ -248,7 +265,7 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                     # realistic denominator, but the impossible all-
                     # underflow row degrades to zeros instead of NaN.
                     # min(s, 80): overflow guard, see the level-2 branch.
-                    e = jnp.exp(jnp.minimum(s, 80.0) - 30.0)
+                    e = jnp.exp(_guard(s) - 30.0)
                     probs = (e / (jnp.sum(e, axis=-1, keepdims=True)
                                   + 1e-37)).astype(dt)
                 else:
@@ -469,7 +486,7 @@ def _bwd_kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                     # ignored — exact whenever no clamping occurs, which is
                     # every realistic step; a clamped row's grad is the
                     # saturated-softmax grad, finite and well-scaled).
-                    e = jnp.exp(jnp.minimum(s, 80.0) - 30.0)
+                    e = jnp.exp(_guard(s) - 30.0)
                     p = e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-37)
                 else:
                     p = jax.nn.softmax(s, axis=-1)      # acc_t (T, T)
@@ -568,26 +585,275 @@ def _build_bwd_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
     return call
 
 
+def _pick_hc_bwd(bnw: int, t: int, c: int, nh: int, itemsize: int,
+                 acc: int = 4) -> tuple[int, int]:
+    """(head-chunk size, window-batch size) for the HEAD-CHUNKED backward,
+    or (0, 0) when nothing fits. Prefers the largest head chunk (fewer dx
+    partials in HBM), then the largest window batch. Per chunk the VMEM
+    residents scale with hc instead of nh — that is what lets C=512/1024
+    (swin stages 3-4) run the Pallas backward at all."""
+    hd = c // nh
+    t_pad = -(-t // 128) * 128
+    budget = 13 * (1 << 20)
+    for hc in (32, 16, 8, 4, 2, 1):
+        if hc > nh or nh % hc:
+            continue
+        hch = hc * hd
+        if hch % 128:  # lane alignment of the (3, C, hch) weight chunks
+            continue
+        fixed = (3 * c * hch * itemsize      # Wq/Wk/Wv column chunk
+                 + 3 * c * hch * 4           # its f32 grad
+                 + hch * c * itemsize        # Wproj row chunk
+                 + hch * c * 4               # its f32 grad
+                 + 2 * hc * t * t * 4        # bias + dbias chunk (f32)
+                 + 4 * t * t * 4             # mask bank
+                 + t * 3 * hch * 4           # dqkv scratch (f32)
+                 + t * hch * itemsize        # o scratch
+                 + t * hch * 4               # do chunk (f32 accum)
+                 + 2 * hc * t * t_pad * acc)  # live score tiles
+        for bw in (8, 4, 2, 1):
+            if bnw % bw or bw * hc > 32:
+                continue
+            # x + g double-buffered + dxp out block double-buffered
+            per = bw * t * c * itemsize * 6
+            if fixed + per <= budget:
+                return hc, bw
+    return 0, 0
+
+
+def _bwd_chunked_body(nh: int, hc: int, t: int, c: int, bw: int,
+                      shifted: bool, nwh: int, nww: int, dt,
+                      attn_f32: bool = True):
+    """Head-chunked backward: grid (nh//hc, bnw//bw), head chunk OUTER so
+    the chunk's weight/bias grads stay VMEM-resident and accumulate across
+    the window dimension (the inner, fastest grid axis). dx cannot
+    accumulate across head chunks (its block is revisited non-consecutively
+    there), so it is emitted as (nh//hc) partials summed by XLA. The
+    output-projection math is sliced by Wproj ROWS (= attention feature
+    columns), so no flops are duplicated across chunks."""
+    hd = c // nh
+    hch = hc * hd
+    scale = hd ** -0.5
+    acc_t = jnp.float32 if attn_f32 else jnp.dtype(dt)
+
+    def body(x_ref, g_ref, wq3_ref, bq3_ref, wproj_ref, bias_ref, mask_ref,
+             dxp_ref, dwq3_ref, dbq3_ref, dwproj_ref, dbproj_ref, dbias_ref,
+             dqkv_scr, o_scr):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init_chunk():
+            dwq3_ref[:] = jnp.zeros_like(dwq3_ref)
+            dbq3_ref[:] = jnp.zeros_like(dbq3_ref)
+            dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+        @pl.when((i == 0) & (j == 0))
+        def _init_global():
+            dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+
+        for w in range(bw):
+            x = x_ref[w]
+            g = g_ref[w].astype(dt)
+            # chunk's q/k/v: x @ Wq3[s] (f32 accum -> dt -> +b), exactly the
+            # forward's TorchLinear epilogue restricted to hch columns
+            qs, ks, vs = (
+                jnp.dot(x, wq3_ref[s], preferred_element_type=jnp.float32)
+                .astype(dt) + bq3_ref[s]
+                for s in range(3)
+            )
+            if shifted:
+                widx = (i * bw + w) % (nwh * nww)
+                li = (widx // nww == nwh - 1).astype(jnp.int32)
+                lj = (widx % nww == nww - 1).astype(jnp.int32)
+                msel = mask_ref[li * 2 + lj].astype(acc_t)  # (T, T)
+            gf = g.astype(jnp.float32)
+
+            @pl.when(j == 0)
+            def _dbproj():
+                dbproj_ref[0] += jnp.sum(gf, axis=0)
+
+            # do chunk (T, hch): g @ Wproj_rows^T — this chunk's slice of
+            # the full do = g @ Wproj^T (do columns are Wproj rows)
+            do_c = lax.dot_general(
+                g, wproj_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            for h in range(hc):
+                q = qs[:, h * hd:(h + 1) * hd]
+                k = ks[:, h * hd:(h + 1) * hd]
+                v = vs[:, h * hd:(h + 1) * hd]
+                s = lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(acc_t) * scale
+                s = s + bias_ref[h].astype(acc_t)
+                if shifted:
+                    s = s + msel
+                if not attn_f32:
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    e = jnp.exp(s - m)
+                    p = e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-37)
+                elif _FAST_SOFTMAX:
+                    e = jnp.exp(_guard(s) - 30.0)
+                    p = e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-37)
+                else:
+                    p = jax.nn.softmax(s, axis=-1)
+                pc = p.astype(dt)
+                o_scr[:, h * hd:(h + 1) * hd] = lax.dot_general(
+                    pc, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt)
+                do_h = do_c[:, h * hd:(h + 1) * hd]
+                dqkv_scr[:, 2 * hch + h * hd:2 * hch + (h + 1) * hd] = (
+                    lax.dot_general(pc, do_h, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
+                dp = lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                dbias_ref[h] += ds
+                dqkv_scr[:, h * hd:(h + 1) * hd] = lax.dot_general(
+                    ds, k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dqkv_scr[:, hch + h * hd:hch + (h + 1) * hd] = lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            # dWproj rows for this chunk: o_chunk^T @ g
+            dwproj_ref[:] += lax.dot_general(
+                o_scr[:], g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqkv = dqkv_scr[:]
+            dxw = None
+            for s_i in range(3):
+                sl = dqkv[:, s_i * hch:(s_i + 1) * hch]
+                dbq3_ref[s_i] += jnp.sum(sl, axis=0)
+                dwq3_ref[s_i] += lax.dot_general(
+                    x, sl.astype(dt), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                part = lax.dot_general(
+                    sl.astype(dt), wq3_ref[s_i], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dxw = part if dxw is None else dxw + part
+            dxp_ref[0, w] = dxw.astype(dt)
+
+    return body
+
+
+@lru_cache(maxsize=None)
+def _build_bwd_chunked_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
+                            nwh: int, nww: int, in_dtype_str: str,
+                            interpret: bool, attn_f32: bool = True):
+    dt = jnp.dtype(in_dtype_str)
+    itemsize = dt.itemsize
+    hc, bw = _pick_hc_bwd(bnw, t, c, nh, itemsize,
+                          4 if attn_f32 else itemsize)
+    if hc == 0:
+        return None
+    nhc = nh // hc
+    hch = hc * (c // nh)
+    body = _bwd_chunked_body(nh, hc, t, c, bw, shifted, nwh, nww, dt,
+                             attn_f32)
+    call = pl.pallas_call(
+        body,
+        grid=(nhc, bnw // bw),
+        in_specs=[
+            pl.BlockSpec((bw, t, c), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((bw, t, c), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # g
+            pl.BlockSpec((3, c, hch), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),  # Wq/Wk/Wv chunk
+            pl.BlockSpec((3, hch), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),  # bq/bk/bv chunk
+            pl.BlockSpec((hch, c), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),  # Wproj row chunk
+            pl.BlockSpec((hc, t, t), lambda j, i: (j, 0, 0),
+                         memory_space=pltpu.VMEM),  # bias chunk
+            pl.BlockSpec((4, t, t), lambda j, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # mask bank
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bw, t, c), lambda j, i: (j, i, 0, 0),
+                         memory_space=pltpu.VMEM),  # dx partials
+            pl.BlockSpec((3, c, hch), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hch), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hch, c), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc, t, t), lambda j, i: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nhc, bnw, t, c), dt),
+            jax.ShapeDtypeStruct((3, c, c), jnp.float32),
+            jax.ShapeDtypeStruct((3, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((nh, t, t), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t, 3 * hch), jnp.float32),  # dqkv chunk
+            pltpu.VMEM((t, hch), dt),               # o chunk
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=bnw * (10 * nh * t * t * (c // nh) + 6 * t * c * 4 * c),
+            bytes_accessed=(nh // hc) * bnw * t * c * itemsize * 4,
+            transcendentals=bnw * nh * t * t,
+        ),
+        interpret=interpret,
+    )
+    return call, nhc
+
+
 def _kernel_bwd(res, g, *, num_heads, window_size, shift_size, grid_hw,
                 interpret, attn_f32=True):
-    """Pallas backward; returns None when the geometry doesn't fit VMEM."""
+    """Pallas backward; returns None when no kernel geometry fits VMEM.
+    Tries the monolithic kernel first (all heads resident, dx written
+    once), then the head-chunked variant (stages 3-4, C=512/1024)."""
     x, wqkv, bqkv, wproj, bproj, bias = res
     bnw, t, c = x.shape
     shifted = shift_size > 0
+    dt = x.dtype
     call = _build_bwd_call(bnw, t, c, num_heads, shifted,
                            grid_hw[0], grid_hw[1], str(x.dtype), interpret,
                            attn_f32)
-    if call is None:
+    if call is not None:
+        mask = jnp.asarray(
+            shift_mask_bank(window_size, shift_size if shifted else 1))
+        dx, dwqkv, dbqkv, dwproj, dbproj, dbias = call(
+            x, g.astype(dt), wqkv.astype(dt),
+            bqkv.reshape(1, 3 * c).astype(dt),
+            wproj.astype(dt), bias.astype(jnp.float32), mask)
+        return (dx,
+                dwqkv.astype(wqkv.dtype),
+                dbqkv.reshape(3 * c).astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype),
+                dbproj.reshape(c).astype(bproj.dtype),
+                dbias.astype(bias.dtype))
+    built = _build_bwd_chunked_call(bnw, t, c, num_heads, shifted,
+                                    grid_hw[0], grid_hw[1], str(x.dtype),
+                                    interpret, attn_f32)
+    if built is None:
         return None
-    dt = x.dtype
+    call, _ = built
     mask = jnp.asarray(
         shift_mask_bank(window_size, shift_size if shifted else 1))
-    dx, dwqkv, dbqkv, dwproj, dbproj, dbias = call(
-        x, g.astype(dt), wqkv.astype(dt), bqkv.reshape(1, 3 * c).astype(dt),
-        wproj.astype(dt), bias.astype(jnp.float32), mask)
+    # Wqkv (C, 3C) columns are [q | k | v]: reorganize to (3, C, C) so a
+    # BlockSpec can slice one head chunk of all three at once
+    wq3 = wqkv.astype(dt).reshape(c, 3, c).transpose(1, 0, 2)
+    bq3 = bqkv.reshape(3, c).astype(dt)
+    dxp, dwq3, dbq3, dwproj, dbproj, dbias = call(
+        x, g.astype(dt), wq3, bq3, wproj.astype(dt),
+        bias.astype(jnp.float32), mask)
+    dx = jnp.sum(dxp.astype(jnp.float32), axis=0).astype(dt)
+    dwqkv = jnp.transpose(dwq3, (1, 0, 2)).reshape(c, 3 * c)
     return (dx,
             dwqkv.astype(wqkv.dtype),
-            dbqkv.reshape(3 * c).astype(bqkv.dtype),
+            dbq3.reshape(3 * c).astype(bqkv.dtype),
             dwproj.astype(wproj.dtype),
             dbproj.reshape(c).astype(bproj.dtype),
             dbias.astype(bias.dtype))

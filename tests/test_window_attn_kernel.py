@@ -343,3 +343,85 @@ def test_pallas_backward_attn_f32_false_bf16():
         # two sides differ by bf16 accumulation-order noise (measured
         # median ~0.026 on dbqkv), not by algebra.
         assert np.median(np.abs(a - b_) / denom) < 0.04, name
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_chunked_backward_matches_xla_at_gated_geometry(shift):
+    """The HEAD-CHUNKED Pallas backward (VERDICT r4 ask #3: stages 3-4,
+    C=512/1024, monolithic kernel VMEM-gates) vs jax.vjp through the XLA
+    twin. f32 inputs -> strict tolerances."""
+    from functools import partial
+
+    from flair_for_aigle_tpu.ops.pallas import window_attn as wa
+
+    nwh, nww = 2, 2
+    bnw, t, c, nh, ws = nwh * nww, 16, 1024, 32, 4
+    # this geometry must gate the monolithic kernel and fit the chunked one
+    assert wa._pick_bw_bwd(bnw, t, c, nh, 4) == 0
+    hc, bw = wa._pick_hc_bwd(bnw, t, c, nh, 4)
+    assert hc > 0 and nh // hc > 1  # a real multi-chunk split
+
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.02, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * c,)) * 0.02, jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.02, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(c,)) * 0.02, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nh, t, t)) * 0.5, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.float32)
+
+    args = (x, wqkv, bqkv, wproj, bproj, bias)
+    got = wa._kernel_bwd(args, g, num_heads=nh, window_size=ws,
+                         shift_size=shift, grid_hw=(nwh, nww),
+                         interpret=True)
+    assert got is not None
+    ref_f = partial(wa._xla_forward, num_heads=nh, shifted=shift > 0,
+                    window_size=ws, shift_size=shift, grid_hw=(nwh, nww),
+                    out_dtype=jnp.float32)
+    _, pullback = jax.vjp(ref_f, *args)
+    want = pullback(g)
+    names = ["dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias"]
+    for name, a, b_ in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_chunked_backward_attn_f32_false_bf16():
+    """Chunked backward at a gated geometry with bf16 inputs and
+    attn_f32=False: finite grads, bf16-regime agreement with the twin."""
+    from functools import partial
+
+    from flair_for_aigle_tpu.ops.pallas import window_attn as wa
+
+    nwh, nww = 2, 2
+    bnw, t, c, nh, ws = nwh * nww, 16, 1024, 32, 4
+    assert wa._pick_bw_bwd(bnw, t, c, nh, 2, 2) == 0
+    assert wa._pick_hc_bwd(bnw, t, c, nh, 2, 2)[0] > 0
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.bfloat16)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.02, jnp.bfloat16)
+    bqkv = jnp.asarray(rng.normal(size=(3 * c,)) * 0.02, jnp.bfloat16)
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.02, jnp.bfloat16)
+    bproj = jnp.asarray(rng.normal(size=(c,)) * 0.02, jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(nh, t, t)) * 0.5, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(bnw, t, c)), jnp.bfloat16)
+
+    args = (x, wqkv, bqkv, wproj, bproj, bias)
+    got = wa._kernel_bwd(args, g, num_heads=nh, window_size=ws,
+                         shift_size=2, grid_hw=(nwh, nww),
+                         interpret=True, attn_f32=False)
+    assert got is not None
+    ref_f = partial(wa._xla_forward, num_heads=nh, shifted=True,
+                    window_size=ws, shift_size=2, grid_hw=(nwh, nww),
+                    out_dtype=jnp.bfloat16, attn_f32=False)
+    _, pullback = jax.vjp(ref_f, *args)
+    want = pullback(g)
+    names = ["dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias"]
+    for name, a, b_ in zip(names, got, want):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        assert np.all(np.isfinite(a)), f"{name} not finite"
+        denom = np.maximum(np.abs(b_), 1e-2)
+        assert np.median(np.abs(a - b_) / denom) < 0.04, name

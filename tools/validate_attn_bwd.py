@@ -31,6 +31,9 @@ from flair_for_aigle_tpu.ops.pallas import window_attn as wa
 from flair_for_aigle_tpu.models.swin import SwinBlock
 
 B = int(os.getenv("PB", "8"))
+# VAF32=0: run the parity sweep with attn_f32=False (bf16 scores/softmax
+# in both kernels — the train-speed knob's backward numerics on-chip)
+VAF32 = os.getenv("VAF32", "1") == "1"
 WS = 12
 # (nwh*nww windows per image, C, nh) swin-base @512px padded grids
 STAGES = [
@@ -59,7 +62,7 @@ def parity(name, nw, c, nh, shift):
     )
     g = jnp.asarray(rng.normal(size=(bnw, t, c)), dt)
     kw = dict(num_heads=nh, window_size=WS, shift_size=WS // 2 if shift else 0,
-              grid_hw=(nwh, nww))
+              grid_hw=(nwh, nww), attn_f32=VAF32)
 
     def grads(mode):
         os.environ["FLAIR_ATTN_BWD"] = mode
