@@ -594,19 +594,24 @@ def _pick_hc_bwd(bnw: int, t: int, c: int, nh: int, itemsize: int,
     (swin stages 3-4) run the Pallas backward at all."""
     hd = c // nh
     t_pad = -(-t // 128) * 128
-    budget = 13 * (1 << 20)
+    budget = int(15.5 * (1 << 20))
     for hc in (32, 16, 8, 4, 2, 1):
         if hc > nh or nh % hc:
             continue
         hch = hc * hd
         if hch % 128:  # lane alignment of the (3, C, hch) weight chunks
             continue
-        fixed = (3 * c * hch * itemsize      # Wq/Wk/Wv column chunk
-                 + 3 * c * hch * 4           # its f32 grad
-                 + hch * c * itemsize        # Wproj row chunk
-                 + hch * c * 4               # its f32 grad
-                 + 2 * hc * t * t * 4        # bias + dbias chunk (f32)
-                 + 4 * t * t * 4             # mask bank
+        # Mosaic DOUBLE-BUFFERS every block whose index map varies over the
+        # grid — here that is all the j-sliced weight/bias chunks AND their
+        # grads, hence the x2 factors (stage-4 hc=8 measured ~18 MB under
+        # this accounting and indeed failed the on-chip compile before the
+        # x2 was modeled; hc=4 compiles).
+        fixed = (2 * 3 * c * hch * itemsize  # Wq/Wk/Wv column chunk (x2)
+                 + 2 * 3 * c * hch * 4       # its f32 grad (x2)
+                 + 2 * hch * c * itemsize    # Wproj row chunk (x2)
+                 + 2 * hch * c * 4           # its f32 grad (x2)
+                 + 4 * hc * t * t * 4        # bias + dbias chunk (f32, x2)
+                 + 4 * t * t * 4             # mask bank (constant block)
                  + t * 3 * hch * 4           # dqkv scratch (f32)
                  + t * hch * itemsize        # o scratch
                  + t * hch * 4               # do chunk (f32 accum)
@@ -614,7 +619,7 @@ def _pick_hc_bwd(bnw: int, t: int, c: int, nh: int, itemsize: int,
         for bw in (8, 4, 2, 1):
             if bnw % bw or bw * hc > 32:
                 continue
-            # x + g double-buffered + dxp out block double-buffered
+            # x + g in blocks + dxp out block, each double-buffered
             per = bw * t * c * itemsize * 6
             if fixed + per <= budget:
                 return hc, bw

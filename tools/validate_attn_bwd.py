@@ -48,8 +48,12 @@ def parity(name, nw, c, nh, shift):
     t = WS * WS
     nwh = nww = int(round(nw ** 0.5))
     bnw = 2 * nw
-    if wa._pick_bw_bwd(bnw, t, c, nh, 2) == 0:
+    acc = 4 if VAF32 else 2
+    mono_bw = wa._pick_bw_bwd(bnw, t, c, nh, 2, acc)
+    hc, _cbw = wa._pick_hc_bwd(bnw, t, c, nh, 2, acc)
+    if mono_bw == 0 and hc == 0:
         return {"skipped": "VMEM gate (XLA fallback path)"}
+    variant = "monolithic" if mono_bw else f"chunked hc={hc} bw={_cbw}"
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
     args = (
@@ -76,7 +80,7 @@ def parity(name, nw, c, nh, shift):
     got = grads("kernel")
     want = grads("xla")
     os.environ.pop("FLAIR_ATTN_BWD", None)
-    out = {}
+    out = {"variant": variant}
     for nm, a, b in zip(("dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dbias"),
                         got, want):
         a = np.asarray(a, np.float32)
