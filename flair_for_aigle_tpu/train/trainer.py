@@ -171,8 +171,11 @@ def _epoch_metrics(confmats: Dict[str, np.ndarray], loss_sum, n_batches,
 
 
 def train(config: Dict[str, Any], data_module, model, variables,
-          out_dir: str, mesh=None, aux_loss_fix: bool = False
-          ) -> tuple[CheckpointCallback, TrainState]:
+          out_dir: str, mesh=None, aux_loss_fix: bool = False,
+          epoch_hook=None) -> tuple[CheckpointCallback, TrainState]:
+    """Fit loop. ``epoch_hook(epoch, metrics)``, if given, runs after each
+    epoch's checkpointing — used by tools/train_loop_e2e.py to hard-kill
+    the process mid-run for the resume-continuity proof."""
     check_batchnorm_and_batch_size(config)
     hp = config["hyperparams"]
     batch_size = hp["batch_size"]
@@ -187,7 +190,12 @@ def train(config: Dict[str, Any], data_module, model, variables,
     train_loader = data_module.train_dataloader()
     val_loader = data_module.val_dataloader()
     steps_per_epoch = max(1, len(train_loader))
-    total_steps = steps_per_epoch * num_epochs
+    # scheduler_total_steps: optional override of the schedule horizon —
+    # a resumed run (num_epochs = epochs to run NOW) passes the original
+    # run's planned total so one_cycle traces the same curve across the
+    # kill/resume boundary.
+    total_steps = (hp.get("scheduler_total_steps")
+                   or steps_per_epoch * num_epochs)
 
     optimizer = make_optimizer(hp)
     scheduler = make_scheduler(hp, total_steps)
@@ -232,9 +240,15 @@ def train(config: Dict[str, Any], data_module, model, variables,
         out_dir, "tensorboard_logs_" + config["paths"]["out_model_name"]
     ))
     rng = jax.random.key(hp.get("seed", 0))
-    global_step = 0
+    # Resume continuity: num_epochs means "epochs to run NOW" (a resumed
+    # run trains num_epochs more), but the scheduler step, the per-step rng
+    # stream (fold_in below — step-keyed, not sequential) and the epoch
+    # labels all continue from the restored step, so a killed-and-resumed
+    # run retraces the exact trajectory of an uninterrupted one.
+    global_step = int(state.step)
+    epoch_offset = global_step // steps_per_epoch
 
-    for epoch in range(num_epochs):
+    for epoch in range(epoch_offset, epoch_offset + num_epochs):
         # ---- train -----------------------------------------------------
         # accumulate loss/confmats/NaN-count as lazy device arrays: a
         # per-step float() would block on every step and defeat async
@@ -252,7 +266,7 @@ def train(config: Dict[str, Any], data_module, model, variables,
             state = state._replace(
                 opt_state=set_learning_rate(state.opt_state, lr)
             )
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(rng, global_step)
             state, m = train_step(state, batch, sub)
             step_nf = (~jnp.isfinite(m["loss"])).astype(jnp.int32)
             if loss_dev is None:
@@ -294,6 +308,8 @@ def train(config: Dict[str, Any], data_module, model, variables,
             val_metrics["val_loss"], val_metrics["val_miou"],
         )
         ckpt_cb.on_epoch_end(epoch, {**train_metrics, **val_metrics}, state)
+        if epoch_hook is not None:
+            epoch_hook(epoch, {**train_metrics, **val_metrics})
         if ckpt_cb.should_stop:
             logger.info("Early stopping at epoch %d", epoch)
             break
