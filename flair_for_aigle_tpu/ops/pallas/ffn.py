@@ -19,11 +19,25 @@ compute dtype exactly like the XLA MLP; fc2 partials accumulate in f32
 (the XLA path accumulates in f32 inside one matmul — same reduction, one
 extra rounding per chunk boundary).
 
-Backward (round 3): custom VJP — the forward runs the kernel saving only
-the raw inputs; the backward recomputes through an XLA twin with matching
-numerics (f32 LN stats, compute-dtype GELU epilogue, f32 matmul
-accumulation) and differentiates it, so training gets the fused forward
-without a hand-written backward kernel.
+Backward (round 5): custom VJP over TWO fused Pallas kernels (flash-style:
+only the raw inputs are saved as residuals, everything else recomputes in
+VMEM):
+
+* dx kernel — grid (token blocks, hidden chunks), token block OUTER: the
+  hidden-chunk contributions to dLN accumulate in a f32 VMEM scratch
+  across the inner chunk axis; at the last chunk the LayerNorm backward
+  runs and dx/dattn are written once. dln_scale/dln_bias/db2 accumulate in
+  constant-index f32 output blocks across the whole grid.
+* dW kernel — grid (hidden chunks, token blocks), hidden chunk OUTER: the
+  chunk's dW1/db1/dW2 stay VMEM-resident and accumulate across the token
+  axis (the inner, consecutive grid dimension), exactly the head-chunked
+  attention-backward pattern.
+
+Both recompute LN/h/gelu from x+attn per step, so the backward's HBM
+traffic is two reads of (x, attn, g) plus the weight chunks — while the
+XLA autodiff of the twin materializes the (N, 4C) hidden activations and
+their cotangents in HBM. Geometries that don't fit fall back to the
+round-3 XLA-recompute twin (also reachable via FLAIR_FFN_BWD=xla).
 """
 
 from __future__ import annotations
@@ -172,6 +186,279 @@ def _build_call(n: int, c: int, hidden: int, eps: float, dtype_str: str,
     return call
 
 
+def _gelu_grad(h0) -> jax.Array:
+    """d gelu(x)/dx in f32: Phi(x) + x * phi(x) with Phi the normal CDF
+    (erf polynomial, as the forward) and phi the normal PDF."""
+    z = h0.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + _erf(z * np.float32(0.7071067811865476)))
+    pdf = jnp.exp(-0.5 * z * z) * np.float32(0.3989422804014327)
+    return cdf + z * pdf
+
+
+def _pick_bwd_dx(n: int, c: int, hidden: int, itemsize: int
+                 ) -> tuple[int, int]:
+    """(token block, hidden chunk) for the dx backward kernel, or (0, 0).
+    Mosaic double-buffers the i-varying x/attn/g/dx blocks and the
+    j-varying W1/W2 chunks; the dln accumulator and f32 temporaries are
+    single. Prefers the largest hidden chunk (fewest dLN passes), then the
+    largest token block."""
+    budget = int(14.5 * (1 << 20))
+    hc = hidden
+    while hc >= 128 and hidden % hc == 0:
+        for tb in (512, 256, 128, 64, 32, 16, 8):
+            if n % tb:
+                continue
+            est = (tb * c * itemsize * 2 * 4      # x, attn, g, dx (x2 dbl)
+                   + 2 * c * hc * itemsize * 2    # W1 + W2 chunk (x2 dbl)
+                   + tb * c * 4 * 2               # dln scratch + nrm temp
+                   + tb * c * 4 * 2               # x2 + ln f32 temporaries
+                   + 3 * tb * hc * 4)             # h0 / dh / dh0 f32
+            if est <= budget:
+                return tb, hc
+        hc //= 2
+    return 0, 0
+
+
+def _pick_bwd_dw(n: int, c: int, hidden: int, itemsize: int
+                 ) -> tuple[int, int]:
+    """(token block, hidden chunk) for the dW backward kernel, or (0, 0).
+    The chunk's f32 dW1/dW2 accumulators are j-varying outputs (x2
+    double-buffered) — the dominant term."""
+    budget = int(14.5 * (1 << 20))
+    hc = hidden
+    while hc >= 128 and hidden % hc == 0:
+        for tb in (512, 256, 128, 64, 32, 16, 8):
+            if n % tb:
+                continue
+            est = (tb * c * itemsize * 2 * 3      # x, attn, g (x2 dbl)
+                   + 2 * c * hc * itemsize * 2    # W1 + W2 chunk (x2 dbl)
+                   + 2 * c * hc * 4 * 2           # dW1 + dW2 f32 (x2 dbl)
+                   + tb * c * 4 * 2               # x2 + ln f32 temporaries
+                   + 3 * tb * hc * 4)             # h0 / dh / dh0 f32
+            if est <= budget:
+                return tb, hc
+        hc //= 2
+    return 0, 0
+
+
+def _ln_recompute(x_ref, a_ref, lns_ref, lnb_ref, eps, dt):
+    """Forward-parity LN recompute from the raw inputs (f32 stats)."""
+    x2 = (x_ref[:] + a_ref[:]).astype(jnp.float32)
+    mean = jnp.mean(x2, axis=-1, keepdims=True)
+    var = jnp.mean((x2 - mean) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    nrm = (x2 - mean) * rstd
+    ln = (nrm * lns_ref[0] + lnb_ref[0]).astype(dt)
+    return nrm, rstd, ln
+
+
+def _bwd_dx_body(tb: int, c: int, hc: int, n_chunks: int, eps: float, dt):
+    """dx/dattn + dln_scale/dln_bias/db2. Grid (token blocks, hidden
+    chunks), token block OUTER: dLN accumulates across the inner chunk
+    axis in a f32 scratch; the LayerNorm backward runs at the last chunk.
+    The three (1, C) param grads accumulate in constant-index f32 output
+    blocks across the whole grid."""
+    from jax import lax
+
+    def body(x_ref, a_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, g_ref,
+             dx_ref, dlns_ref, dlnb_ref, db2_ref, dln_scr):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((i == 0) & (j == 0))
+        def _init():
+            dlns_ref[:] = jnp.zeros_like(dlns_ref)
+            dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+
+        @pl.when(j == 0)
+        def _zero():
+            dln_scr[:] = jnp.zeros_like(dln_scr)
+
+        nrm, rstd, ln = _ln_recompute(x_ref, a_ref, lns_ref, lnb_ref, eps, dt)
+        h0 = jnp.dot(ln, w1_ref[:],
+                     preferred_element_type=jnp.float32).astype(dt) + b1_ref[0]
+        g = g_ref[:].astype(dt)
+        dh = lax.dot_general(g, w2_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        dh0 = dh * _gelu_grad(h0)
+        dln_scr[:] += lax.dot_general(
+            dh0.astype(dt), w1_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == n_chunks - 1)
+        def _fin():
+            gf = g_ref[:].astype(jnp.float32)
+            dln = dln_scr[:]
+            dlns_ref[0] += jnp.sum(dln * nrm, axis=0)
+            dlnb_ref[0] += jnp.sum(dln, axis=0)
+            db2_ref[0] += jnp.sum(gf, axis=0)
+            dnrm = dln * lns_ref[0]
+            m1 = jnp.mean(dnrm, axis=-1, keepdims=True)
+            m2 = jnp.mean(dnrm * nrm, axis=-1, keepdims=True)
+            dx2 = rstd * (dnrm - m1 - nrm * m2)
+            dx_ref[:] = (gf + dx2).astype(dt)
+
+    return body
+
+
+def _bwd_dw_body(tb: int, c: int, hc: int, eps: float, dt):
+    """dW1/db1/dW2. Grid (hidden chunks, token blocks), hidden chunk
+    OUTER: the chunk's f32 grads stay VMEM-resident and accumulate across
+    the token axis (the inner, consecutive grid dimension)."""
+    from jax import lax
+
+    def body(x_ref, a_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, g_ref,
+             dw1_ref, db1_ref, dw2_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            dw1_ref[:] = jnp.zeros_like(dw1_ref)
+            db1_ref[:] = jnp.zeros_like(db1_ref)
+            dw2_ref[:] = jnp.zeros_like(dw2_ref)
+
+        _, _, ln = _ln_recompute(x_ref, a_ref, lns_ref, lnb_ref, eps, dt)
+        h0 = jnp.dot(ln, w1_ref[:],
+                     preferred_element_type=jnp.float32).astype(dt) + b1_ref[0]
+        h = _gelu_exact(h0)
+        g = g_ref[:].astype(dt)
+        dw2_ref[:] += lax.dot_general(h, g, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dh = lax.dot_general(g, w2_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        dh0 = dh * _gelu_grad(h0)
+        db1_ref[0] += jnp.sum(dh0, axis=0)
+        dw1_ref[:] += lax.dot_general(ln, dh0.astype(dt),
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    return body
+
+
+@lru_cache(maxsize=None)
+def _build_bwd_calls(n: int, c: int, hidden: int, eps: float,
+                     dtype_str: str, interpret: bool):
+    """(dx_call, dw_call) or None when either geometry doesn't fit VMEM."""
+    dt = jnp.dtype(dtype_str)
+    itemsize = dt.itemsize
+    tbx, hcx = _pick_bwd_dx(n, c, hidden, itemsize)
+    tbw, hcw = _pick_bwd_dw(n, c, hidden, itemsize)
+    if tbx == 0 or tbw == 0:
+        return None
+    tok = lambda i, j: (i, 0)
+    tokw = lambda j, i: (i, 0)
+    const = lambda i, j: (0, 0)
+    dx_call = pl.pallas_call(
+        _bwd_dx_body(tbx, c, hcx, hidden // hcx, eps, dt),
+        grid=(n // tbx, hidden // hcx),
+        in_specs=[
+            pl.BlockSpec((tbx, c), tok, memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec((tbx, c), tok, memory_space=pltpu.VMEM),   # attn
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),   # lns
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),   # lnb
+            pl.BlockSpec((c, hcx), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),                  # W1 chunk
+            pl.BlockSpec((1, hcx), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),                  # b1 chunk
+            pl.BlockSpec((hcx, c), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),                  # W2 chunk
+            pl.BlockSpec((tbx, c), tok, memory_space=pltpu.VMEM),   # g
+        ],
+        out_specs=[
+            pl.BlockSpec((tbx, c), tok, memory_space=pltpu.VMEM),   # dx
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),   # dlns
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),   # dlnb
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),   # db2
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), dt),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tbx, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * c * hidden,
+            bytes_accessed=4 * n * c * itemsize + 2 * c * hidden * itemsize,
+            transcendentals=n * hidden,
+        ),
+        interpret=interpret,
+    )
+    dw_call = pl.pallas_call(
+        _bwd_dw_body(tbw, c, hcw, eps, dt),
+        grid=(hidden // hcw, n // tbw),
+        in_specs=[
+            pl.BlockSpec((tbw, c), tokw, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((tbw, c), tokw, memory_space=pltpu.VMEM),  # attn
+            pl.BlockSpec((1, c), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                  # lns
+            pl.BlockSpec((1, c), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                  # lnb
+            pl.BlockSpec((c, hcw), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),                  # W1 chunk
+            pl.BlockSpec((1, hcw), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),                  # b1 chunk
+            pl.BlockSpec((hcw, c), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),                  # W2 chunk
+            pl.BlockSpec((tbw, c), tokw, memory_space=pltpu.VMEM),  # g
+        ],
+        out_specs=[
+            pl.BlockSpec((c, hcw), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),                  # dW1
+            pl.BlockSpec((1, hcw), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),                  # db1
+            pl.BlockSpec((hcw, c), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),                  # dW2
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * c * hidden,
+            bytes_accessed=3 * n * c * itemsize + 2 * c * hidden * itemsize,
+            transcendentals=2 * n * hidden,
+        ),
+        interpret=interpret,
+    )
+    return dx_call, dw_call
+
+
+def _kernel_bwd(res, g, *, eps, interpret):
+    """Fused Pallas backward; returns None when the geometry doesn't fit
+    the VMEM budget (caller falls back to the XLA-recompute twin)."""
+    x, attn, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    shape = x.shape
+    c = shape[-1]
+    hidden = w1.shape[-1]
+    n = int(np.prod(shape[:-1]))
+    dt = x.dtype
+    built = _build_bwd_calls(n, c, hidden, eps, str(dt), interpret)
+    if built is None:
+        return None
+    dx_call, dw_call = built
+    args = (
+        x.reshape(n, c), attn.reshape(n, c).astype(dt),
+        ln_scale.reshape(1, c).astype(jnp.float32),
+        ln_bias.reshape(1, c).astype(jnp.float32),
+        w1.astype(dt), b1.reshape(1, hidden).astype(dt),
+        w2.astype(dt), g.reshape(n, c).astype(dt),
+    )
+    dx, dlns, dlnb, db2 = dx_call(*args)
+    dw1, db1, dw2 = dw_call(*args)
+    dx = dx.reshape(shape)
+    return (dx,
+            dx.astype(attn.dtype),
+            dlns.reshape(ln_scale.shape).astype(ln_scale.dtype),
+            dlnb.reshape(ln_bias.shape).astype(ln_bias.dtype),
+            dw1.astype(w1.dtype),
+            db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype),
+            db2.reshape(b2.shape).astype(b2.dtype))
+
+
 def _xla_forward(x, attn, ln_scale, ln_bias, w1, b1, w2, b2, *, eps):
     """XLA twin of the kernel (f32 LN stats, compute-dtype bias+GELU
     epilogue, f32 matmul accumulation) — differentiated by the custom
@@ -215,6 +502,14 @@ def _vjp_fn(eps: float, interpret: bool):
         )
 
     def f_bwd(res, g):
+        # FLAIR_FFN_BWD=xla opts out of the Pallas backward (falls back to
+        # the XLA-recompute twin); read at trace time, not import time
+        import os as _os
+
+        if _os.getenv("FLAIR_FFN_BWD", "kernel") != "xla":
+            grads = _kernel_bwd(res, g, eps=eps, interpret=interpret)
+            if grads is not None:
+                return grads
         _, pullback = jax.vjp(partial(_xla_forward, eps=eps), *res)
         return pullback(g)
 

@@ -96,3 +96,86 @@ def test_swinblock_kernel_grads_under_remat():
     )(v)
     assert all(np.isfinite(np.asarray(leaf)).all()
                for leaf in jax.tree.leaves(g))
+
+
+def _ffn_args(n, c, hidden, dt, seed=3):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.normal(size=(n, c)), dt),
+        jnp.asarray(rng.normal(size=(n, c)), dt),
+        jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1, jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(c, hidden)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(hidden,)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(hidden, c)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)) * 0.05, jnp.float32),
+    )
+
+
+def test_ffn_pallas_backward_matches_xla_autodiff():
+    """The fused Pallas FFN backward (VERDICT r5: dx kernel + dW kernel) vs
+    jax.vjp through the numerics-matched XLA twin. f32 inputs -> strict
+    tolerances."""
+    from functools import partial
+
+    from flair_for_aigle_tpu.ops.pallas import ffn as ffn_mod
+
+    n, c, hidden = 64, 128, 512
+    args = _ffn_args(n, c, hidden, jnp.float32)
+    g = jnp.asarray(np.random.default_rng(5).normal(size=(n, c)), jnp.float32)
+    got = ffn_mod._kernel_bwd(args, g, eps=1e-5, interpret=True)
+    assert got is not None
+    _, pullback = jax.vjp(partial(ffn_mod._xla_forward, eps=1e-5), *args)
+    want = pullback(g)
+    names = ["dx", "dattn", "dlns", "dlnb", "dw1", "db1", "dw2", "db2"]
+    for name, a_, b_ in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a_, np.float32), np.asarray(b_, np.float32),
+            rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_ffn_pallas_backward_multichunk_bf16():
+    """A geometry whose dW VMEM forces multiple hidden chunks, bf16 inputs:
+    finite grads, bf16-regime agreement with the twin."""
+    from functools import partial
+
+    from flair_for_aigle_tpu.ops.pallas import ffn as ffn_mod
+
+    n, c, hidden = 32, 1024, 4096  # swin stage 4 widths
+    tbw, hcw = ffn_mod._pick_bwd_dw(n, c, hidden, 2)
+    assert tbw > 0 and hidden // hcw > 1  # real multi-chunk split
+    args = _ffn_args(n, c, hidden, jnp.bfloat16)
+    g = jnp.asarray(np.random.default_rng(7).normal(size=(n, c)),
+                    jnp.bfloat16)
+    got = ffn_mod._kernel_bwd(args, g, eps=1e-5, interpret=True)
+    assert got is not None
+    _, pullback = jax.vjp(partial(ffn_mod._xla_forward, eps=1e-5), *args)
+    want = pullback(g)
+    names = ["dx", "dattn", "dlns", "dlnb", "dw1", "db1", "dw2", "db2"]
+    for name, a_, b_ in zip(names, got, want):
+        a_ = np.asarray(a_, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        assert np.all(np.isfinite(a_)), f"{name} not finite"
+        denom = np.maximum(np.abs(b_), 1e-2)
+        assert np.median(np.abs(a_ - b_) / denom) < 0.04, name
+
+
+def test_ffn_backward_env_optout(monkeypatch):
+    """FLAIR_FFN_BWD=xla forces the XLA-recompute twin; grads stay usable
+    through the public entry point either way."""
+    from flair_for_aigle_tpu.ops.pallas import ffn as ffn_mod
+
+    n, c, hidden = 16, 128, 512
+    args = _ffn_args(n, c, hidden, jnp.float32)
+
+    def loss(*a):
+        return jnp.sum(fused_ln_mlp_residual(*a) ** 2)
+
+    g_kernel = jax.grad(loss, argnums=(0, 4))(*args)
+    monkeypatch.setenv("FLAIR_FFN_BWD", "xla")
+    ffn_mod._vjp_fn.cache_clear()
+    g_xla = jax.grad(loss, argnums=(0, 4))(*args)
+    ffn_mod._vjp_fn.cache_clear()
+    for a_, b_ in zip(g_kernel, g_xla):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
