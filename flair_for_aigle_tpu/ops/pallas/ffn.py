@@ -19,25 +19,36 @@ compute dtype exactly like the XLA MLP; fc2 partials accumulate in f32
 (the XLA path accumulates in f32 inside one matmul — same reduction, one
 extra rounding per chunk boundary).
 
-Backward (round 5): custom VJP over TWO fused Pallas kernels (flash-style:
-only the raw inputs are saved as residuals, everything else recomputes in
-VMEM):
+Backward (round 5): custom VJP over ONE fused Pallas kernel plus a small
+XLA LayerNorm epilogue (flash-style: only the raw inputs are saved as
+residuals, everything else recomputes in VMEM). Grid (hidden chunks,
+token blocks), hidden chunk OUTER: the chunk's f32 dW1/db1/dW2 stay
+VMEM-resident and accumulate across the token axis (the inner,
+consecutive grid dimension — the head-chunked attention-backward
+pattern); the chunk's dLN contribution (dh0 @ W1c^T) is emitted as
+(n_chunks, N, C) f32 partials; db2 accumulates in a constant-index block
+during the first chunk pass. The XLA epilogue sums the partials,
+recomputes the LN statistics from x+attn, and runs the (elementwise +
+row-reduction) LayerNorm backward to produce dx/dattn and
+dln_scale/dln_bias.
 
-* dx kernel — grid (token blocks, hidden chunks), token block OUTER: the
-  hidden-chunk contributions to dLN accumulate in a f32 VMEM scratch
-  across the inner chunk axis; at the last chunk the LayerNorm backward
-  runs and dx/dattn are written once. dln_scale/dln_bias/db2 accumulate in
-  constant-index f32 output blocks across the whole grid.
-* dW kernel — grid (hidden chunks, token blocks), hidden chunk OUTER: the
-  chunk's dW1/db1/dW2 stay VMEM-resident and accumulate across the token
-  axis (the inner, consecutive grid dimension), exactly the head-chunked
-  attention-backward pattern.
+Five chunk-matmuls total (h0, dh, dW2, dW1, dln) versus the XLA
+autodiff's six plus its HBM-materialized (N, 4C) hidden activations and
+cotangents. An earlier TWO-kernel split (separate dx and dW kernels)
+measured SLOWER than the XLA backward on v5e (62.3 vs 56.9 ms on the
+18-block stage-3 train chain) because it duplicated the h0/dh recompute
+across kernels — seven matmuls.
 
-Both recompute LN/h/gelu from x+attn per step, so the backward's HBM
-traffic is two reads of (x, attn, g) plus the weight chunks — while the
-XLA autodiff of the twin materializes the (N, 4C) hidden activations and
-their cotangents in HBM. Geometries that don't fit fall back to the
-round-3 XLA-recompute twin (also reachable via FLAIR_FFN_BWD=xla).
+DEFAULT IS THE XLA-RECOMPUTE TWIN (round-5 measurement): even this
+single-pass kernel measured a LOSS on v5e — full bench train step 184.3
+(kernel) vs 181.1 (xla) vs 184.3 (kernel) same-phase A/B/A, stage-3
+18-block chain 60.2 vs 56.3-59.3 — unlike the attention scores, the
+(N, 4C) hidden tensors are small at swin geometries and XLA's backward
+fusion already handles them; the kernel's per-chunk LN recompute and dln
+partials round-trip cost more than the saved traffic. Parity is green
+on-chip at all four stage geometries (med_rel <= 0.4%), so the kernel
+stays available via FLAIR_FFN_BWD=kernel for wider-hidden architectures
+where the traffic term dominates.
 """
 
 from __future__ import annotations
@@ -195,35 +206,13 @@ def _gelu_grad(h0) -> jax.Array:
     return cdf + z * pdf
 
 
-def _pick_bwd_dx(n: int, c: int, hidden: int, itemsize: int
-                 ) -> tuple[int, int]:
-    """(token block, hidden chunk) for the dx backward kernel, or (0, 0).
-    Mosaic double-buffers the i-varying x/attn/g/dx blocks and the
-    j-varying W1/W2 chunks; the dln accumulator and f32 temporaries are
-    single. Prefers the largest hidden chunk (fewest dLN passes), then the
-    largest token block."""
-    budget = int(14.5 * (1 << 20))
-    hc = hidden
-    while hc >= 128 and hidden % hc == 0:
-        for tb in (512, 256, 128, 64, 32, 16, 8):
-            if n % tb:
-                continue
-            est = (tb * c * itemsize * 2 * 4      # x, attn, g, dx (x2 dbl)
-                   + 2 * c * hc * itemsize * 2    # W1 + W2 chunk (x2 dbl)
-                   + tb * c * 4 * 2               # dln scratch + nrm temp
-                   + tb * c * 4 * 2               # x2 + ln f32 temporaries
-                   + 3 * tb * hc * 4)             # h0 / dh / dh0 f32
-            if est <= budget:
-                return tb, hc
-        hc //= 2
-    return 0, 0
-
-
-def _pick_bwd_dw(n: int, c: int, hidden: int, itemsize: int
-                 ) -> tuple[int, int]:
-    """(token block, hidden chunk) for the dW backward kernel, or (0, 0).
-    The chunk's f32 dW1/dW2 accumulators are j-varying outputs (x2
-    double-buffered) — the dominant term."""
+def _pick_bwd(n: int, c: int, hidden: int, itemsize: int
+              ) -> tuple[int, int]:
+    """(token block, hidden chunk) for the fused backward kernel, or
+    (0, 0). The chunk's f32 dW1/dW2 accumulators are j-varying outputs
+    (x2 double-buffered, Mosaic) — the dominant term. Prefers the largest
+    hidden chunk (fewest LN recomputes and dln partials), then the largest
+    token block."""
     budget = int(14.5 * (1 << 20))
     hc = hidden
     while hc >= 128 and hidden % hc == 0:
@@ -231,6 +220,7 @@ def _pick_bwd_dw(n: int, c: int, hidden: int, itemsize: int
             if n % tb:
                 continue
             est = (tb * c * itemsize * 2 * 3      # x, attn, g (x2 dbl)
+                   + tb * c * 4 * 2               # dln partial out (x2 dbl)
                    + 2 * c * hc * itemsize * 2    # W1 + W2 chunk (x2 dbl)
                    + 2 * c * hc * 4 * 2           # dW1 + dW2 f32 (x2 dbl)
                    + tb * c * 4 * 2               # x2 + ln f32 temporaries
@@ -252,65 +242,20 @@ def _ln_recompute(x_ref, a_ref, lns_ref, lnb_ref, eps, dt):
     return nrm, rstd, ln
 
 
-def _bwd_dx_body(tb: int, c: int, hc: int, n_chunks: int, eps: float, dt):
-    """dx/dattn + dln_scale/dln_bias/db2. Grid (token blocks, hidden
-    chunks), token block OUTER: dLN accumulates across the inner chunk
-    axis in a f32 scratch; the LayerNorm backward runs at the last chunk.
-    The three (1, C) param grads accumulate in constant-index f32 output
-    blocks across the whole grid."""
+def _bwd_body(tb: int, c: int, hc: int, eps: float, dt):
+    """dW1/db1/dW2 + per-chunk dLN partials + db2. Grid (hidden chunks,
+    token blocks), hidden chunk OUTER: the chunk's f32 grads stay
+    VMEM-resident and accumulate across the token axis (the inner,
+    consecutive grid dimension); the dLN contribution streams out as a
+    (n_chunks, N, C) f32 partial; db2 accumulates during the first chunk
+    pass. The LayerNorm backward itself runs in an XLA epilogue
+    (_kernel_bwd) over the summed partials."""
     from jax import lax
 
     def body(x_ref, a_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, g_ref,
-             dx_ref, dlns_ref, dlnb_ref, db2_ref, dln_scr):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-
-        @pl.when((i == 0) & (j == 0))
-        def _init():
-            dlns_ref[:] = jnp.zeros_like(dlns_ref)
-            dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
-            db2_ref[:] = jnp.zeros_like(db2_ref)
-
-        @pl.when(j == 0)
-        def _zero():
-            dln_scr[:] = jnp.zeros_like(dln_scr)
-
-        nrm, rstd, ln = _ln_recompute(x_ref, a_ref, lns_ref, lnb_ref, eps, dt)
-        h0 = jnp.dot(ln, w1_ref[:],
-                     preferred_element_type=jnp.float32).astype(dt) + b1_ref[0]
-        g = g_ref[:].astype(dt)
-        dh = lax.dot_general(g, w2_ref[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        dh0 = dh * _gelu_grad(h0)
-        dln_scr[:] += lax.dot_general(
-            dh0.astype(dt), w1_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-        @pl.when(j == n_chunks - 1)
-        def _fin():
-            gf = g_ref[:].astype(jnp.float32)
-            dln = dln_scr[:]
-            dlns_ref[0] += jnp.sum(dln * nrm, axis=0)
-            dlnb_ref[0] += jnp.sum(dln, axis=0)
-            db2_ref[0] += jnp.sum(gf, axis=0)
-            dnrm = dln * lns_ref[0]
-            m1 = jnp.mean(dnrm, axis=-1, keepdims=True)
-            m2 = jnp.mean(dnrm * nrm, axis=-1, keepdims=True)
-            dx2 = rstd * (dnrm - m1 - nrm * m2)
-            dx_ref[:] = (gf + dx2).astype(dt)
-
-    return body
-
-
-def _bwd_dw_body(tb: int, c: int, hc: int, eps: float, dt):
-    """dW1/db1/dW2. Grid (hidden chunks, token blocks), hidden chunk
-    OUTER: the chunk's f32 grads stay VMEM-resident and accumulate across
-    the token axis (the inner, consecutive grid dimension)."""
-    from jax import lax
-
-    def body(x_ref, a_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, g_ref,
-             dw1_ref, db1_ref, dw2_ref):
+             dlnp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
         i = pl.program_id(1)
+        j = pl.program_id(0)
 
         @pl.when(i == 0)
         def _init():
@@ -318,136 +263,137 @@ def _bwd_dw_body(tb: int, c: int, hc: int, eps: float, dt):
             db1_ref[:] = jnp.zeros_like(db1_ref)
             dw2_ref[:] = jnp.zeros_like(dw2_ref)
 
+        @pl.when((i == 0) & (j == 0))
+        def _init_db2():
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+
         _, _, ln = _ln_recompute(x_ref, a_ref, lns_ref, lnb_ref, eps, dt)
         h0 = jnp.dot(ln, w1_ref[:],
                      preferred_element_type=jnp.float32).astype(dt) + b1_ref[0]
         h = _gelu_exact(h0)
         g = g_ref[:].astype(dt)
+
+        @pl.when(j == 0)
+        def _db2():
+            db2_ref[0] += jnp.sum(g_ref[:].astype(jnp.float32), axis=0)
+
         dw2_ref[:] += lax.dot_general(h, g, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dh = lax.dot_general(g, w2_ref[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
         dh0 = dh * _gelu_grad(h0)
         db1_ref[0] += jnp.sum(dh0, axis=0)
-        dw1_ref[:] += lax.dot_general(ln, dh0.astype(dt),
-                                      (((0,), (0,)), ((), ())),
+        dh0c = dh0.astype(dt)
+        dw1_ref[:] += lax.dot_general(ln, dh0c, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dlnp_ref[0] = lax.dot_general(dh0c, w1_ref[:],
+                                      (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
 
     return body
 
 
 @lru_cache(maxsize=None)
-def _build_bwd_calls(n: int, c: int, hidden: int, eps: float,
-                     dtype_str: str, interpret: bool):
-    """(dx_call, dw_call) or None when either geometry doesn't fit VMEM."""
+def _build_bwd_call(n: int, c: int, hidden: int, eps: float,
+                    dtype_str: str, interpret: bool):
+    """The fused backward call, or None when no geometry fits VMEM."""
     dt = jnp.dtype(dtype_str)
     itemsize = dt.itemsize
-    tbx, hcx = _pick_bwd_dx(n, c, hidden, itemsize)
-    tbw, hcw = _pick_bwd_dw(n, c, hidden, itemsize)
-    if tbx == 0 or tbw == 0:
+    tb, hc = _pick_bwd(n, c, hidden, itemsize)
+    if tb == 0:
         return None
-    tok = lambda i, j: (i, 0)
-    tokw = lambda j, i: (i, 0)
-    const = lambda i, j: (0, 0)
-    dx_call = pl.pallas_call(
-        _bwd_dx_body(tbx, c, hcx, hidden // hcx, eps, dt),
-        grid=(n // tbx, hidden // hcx),
+    n_chunks = hidden // hc
+    tok = lambda j, i: (i, 0)
+    call = pl.pallas_call(
+        _bwd_body(tb, c, hc, eps, dt),
+        grid=(n_chunks, n // tb),
         in_specs=[
-            pl.BlockSpec((tbx, c), tok, memory_space=pltpu.VMEM),   # x
-            pl.BlockSpec((tbx, c), tok, memory_space=pltpu.VMEM),   # attn
-            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),   # lns
-            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),   # lnb
-            pl.BlockSpec((c, hcx), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),                  # W1 chunk
-            pl.BlockSpec((1, hcx), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),                  # b1 chunk
-            pl.BlockSpec((hcx, c), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),                  # W2 chunk
-            pl.BlockSpec((tbx, c), tok, memory_space=pltpu.VMEM),   # g
+            pl.BlockSpec((tb, c), tok, memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec((tb, c), tok, memory_space=pltpu.VMEM),   # attn
+            pl.BlockSpec((1, c), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                 # lns
+            pl.BlockSpec((1, c), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                 # lnb
+            pl.BlockSpec((c, hc), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),                 # W1 chunk
+            pl.BlockSpec((1, hc), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),                 # b1 chunk
+            pl.BlockSpec((hc, c), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),                 # W2 chunk
+            pl.BlockSpec((tb, c), tok, memory_space=pltpu.VMEM),   # g
         ],
         out_specs=[
-            pl.BlockSpec((tbx, c), tok, memory_space=pltpu.VMEM),   # dx
-            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),   # dlns
-            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),   # dlnb
-            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),   # db2
+            pl.BlockSpec((1, tb, c), lambda j, i: (j, i, 0),
+                         memory_space=pltpu.VMEM),                 # dln part
+            pl.BlockSpec((c, hc), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),                 # dW1
+            pl.BlockSpec((1, hc), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),                 # db1
+            pl.BlockSpec((hc, c), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),                 # dW2
+            pl.BlockSpec((1, c), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),                 # db2
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, c), dt),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((tbx, c), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=6 * n * c * hidden,
-            bytes_accessed=4 * n * c * itemsize + 2 * c * hidden * itemsize,
-            transcendentals=n * hidden,
-        ),
-        interpret=interpret,
-    )
-    dw_call = pl.pallas_call(
-        _bwd_dw_body(tbw, c, hcw, eps, dt),
-        grid=(hidden // hcw, n // tbw),
-        in_specs=[
-            pl.BlockSpec((tbw, c), tokw, memory_space=pltpu.VMEM),  # x
-            pl.BlockSpec((tbw, c), tokw, memory_space=pltpu.VMEM),  # attn
-            pl.BlockSpec((1, c), lambda j, i: (0, 0),
-                         memory_space=pltpu.VMEM),                  # lns
-            pl.BlockSpec((1, c), lambda j, i: (0, 0),
-                         memory_space=pltpu.VMEM),                  # lnb
-            pl.BlockSpec((c, hcw), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),                  # W1 chunk
-            pl.BlockSpec((1, hcw), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),                  # b1 chunk
-            pl.BlockSpec((hcw, c), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),                  # W2 chunk
-            pl.BlockSpec((tbw, c), tokw, memory_space=pltpu.VMEM),  # g
-        ],
-        out_specs=[
-            pl.BlockSpec((c, hcw), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),                  # dW1
-            pl.BlockSpec((1, hcw), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),                  # db1
-            pl.BlockSpec((hcw, c), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),                  # dW2
-        ],
-        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, n, c), jnp.float32),
             jax.ShapeDtypeStruct((c, hidden), jnp.float32),
             jax.ShapeDtypeStruct((1, hidden), jnp.float32),
             jax.ShapeDtypeStruct((hidden, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * n * c * hidden,
-            bytes_accessed=3 * n * c * itemsize + 2 * c * hidden * itemsize,
+            flops=10 * n * c * hidden,
+            bytes_accessed=(n_chunks * 3 * n * c * itemsize
+                            + n_chunks * n * c * 4
+                            + 4 * c * hidden * itemsize),
             transcendentals=2 * n * hidden,
         ),
         interpret=interpret,
     )
-    return dx_call, dw_call
+    return call
 
 
 def _kernel_bwd(res, g, *, eps, interpret):
-    """Fused Pallas backward; returns None when the geometry doesn't fit
-    the VMEM budget (caller falls back to the XLA-recompute twin)."""
+    """Fused Pallas backward + XLA LayerNorm epilogue; returns None when
+    the geometry doesn't fit the VMEM budget (caller falls back to the
+    XLA-recompute twin)."""
     x, attn, ln_scale, ln_bias, w1, b1, w2, b2 = res
     shape = x.shape
     c = shape[-1]
     hidden = w1.shape[-1]
     n = int(np.prod(shape[:-1]))
     dt = x.dtype
-    built = _build_bwd_calls(n, c, hidden, eps, str(dt), interpret)
-    if built is None:
+    call = _build_bwd_call(n, c, hidden, eps, str(dt), interpret)
+    if call is None:
         return None
-    dx_call, dw_call = built
-    args = (
-        x.reshape(n, c), attn.reshape(n, c).astype(dt),
+    xf = x.reshape(n, c)
+    af = attn.reshape(n, c).astype(dt)
+    gf2 = g.reshape(n, c)
+    dlnp, dw1, db1, dw2, db2 = call(
+        xf, af,
         ln_scale.reshape(1, c).astype(jnp.float32),
         ln_bias.reshape(1, c).astype(jnp.float32),
         w1.astype(dt), b1.reshape(1, hidden).astype(dt),
-        w2.astype(dt), g.reshape(n, c).astype(dt),
+        w2.astype(dt), gf2.astype(dt),
     )
-    dx, dlns, dlnb, db2 = dx_call(*args)
-    dw1, db1, dw2 = dw_call(*args)
+    # XLA LayerNorm epilogue: sum the chunk partials, recompute the f32 LN
+    # statistics from x+attn (forward parity), run the row-reduction
+    # backward. One elementwise pass over (N, C) — cheap next to the
+    # kernel's matmuls, and XLA fuses it with the partial sum.
+    dln = jnp.sum(dlnp, axis=0)
+    x2 = (xf + af).astype(jnp.float32)
+    mean = jnp.mean(x2, axis=-1, keepdims=True)
+    var = jnp.mean((x2 - mean) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    nrm = (x2 - mean) * rstd
+    lnsf = ln_scale.reshape(1, c).astype(jnp.float32)
+    dlns = jnp.sum(dln * nrm, axis=0, keepdims=True)
+    dlnb = jnp.sum(dln, axis=0, keepdims=True)
+    dnrm = dln * lnsf
+    m1 = jnp.mean(dnrm, axis=-1, keepdims=True)
+    m2 = jnp.mean(dnrm * nrm, axis=-1, keepdims=True)
+    dx2 = rstd * (dnrm - m1 - nrm * m2)
+    dx = (gf2.reshape(n, c).astype(jnp.float32) + dx2).astype(dt)
     dx = dx.reshape(shape)
     return (dx,
             dx.astype(attn.dtype),
@@ -502,11 +448,12 @@ def _vjp_fn(eps: float, interpret: bool):
         )
 
     def f_bwd(res, g):
-        # FLAIR_FFN_BWD=xla opts out of the Pallas backward (falls back to
-        # the XLA-recompute twin); read at trace time, not import time
+        # FLAIR_FFN_BWD=kernel opts INTO the Pallas backward; the default
+        # is the XLA-recompute twin, which measured FASTER on v5e at swin
+        # geometries (see module docstring). Read at trace time.
         import os as _os
 
-        if _os.getenv("FLAIR_FFN_BWD", "kernel") != "xla":
+        if _os.getenv("FLAIR_FFN_BWD", "xla") == "kernel":
             grads = _kernel_bwd(res, g, eps=eps, interpret=interpret)
             if grads is not None:
                 return grads

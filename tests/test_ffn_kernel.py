@@ -142,7 +142,7 @@ def test_ffn_pallas_backward_multichunk_bf16():
     from flair_for_aigle_tpu.ops.pallas import ffn as ffn_mod
 
     n, c, hidden = 32, 1024, 4096  # swin stage 4 widths
-    tbw, hcw = ffn_mod._pick_bwd_dw(n, c, hidden, 2)
+    tbw, hcw = ffn_mod._pick_bwd(n, c, hidden, 2)
     assert tbw > 0 and hidden // hcw > 1  # real multi-chunk split
     args = _ffn_args(n, c, hidden, jnp.bfloat16)
     g = jnp.asarray(np.random.default_rng(7).normal(size=(n, c)),
@@ -160,9 +160,10 @@ def test_ffn_pallas_backward_multichunk_bf16():
         assert np.median(np.abs(a_ - b_) / denom) < 0.04, name
 
 
-def test_ffn_backward_env_optout(monkeypatch):
-    """FLAIR_FFN_BWD=xla forces the XLA-recompute twin; grads stay usable
-    through the public entry point either way."""
+def test_ffn_backward_env_optin(monkeypatch):
+    """FLAIR_FFN_BWD=kernel opts into the Pallas backward (default is the
+    XLA twin, measured faster on v5e); grads agree through the public
+    entry point either way."""
     from flair_for_aigle_tpu.ops.pallas import ffn as ffn_mod
 
     n, c, hidden = 16, 128, 512
@@ -171,10 +172,10 @@ def test_ffn_backward_env_optout(monkeypatch):
     def loss(*a):
         return jnp.sum(fused_ln_mlp_residual(*a) ** 2)
 
-    g_kernel = jax.grad(loss, argnums=(0, 4))(*args)
-    monkeypatch.setenv("FLAIR_FFN_BWD", "xla")
-    ffn_mod._vjp_fn.cache_clear()
     g_xla = jax.grad(loss, argnums=(0, 4))(*args)
+    monkeypatch.setenv("FLAIR_FFN_BWD", "kernel")
+    ffn_mod._vjp_fn.cache_clear()
+    g_kernel = jax.grad(loss, argnums=(0, 4))(*args)
     ffn_mod._vjp_fn.cache_clear()
     for a_, b_ in zip(g_kernel, g_xla):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
