@@ -34,6 +34,7 @@ from flax import linen as nn
 
 from flair_for_aigle_tpu.models.layers import TorchBatchNorm, TorchConv
 from flair_for_aigle_tpu.ops.resize import (
+    resize_bilinear_ac_nhwc,
     adaptive_avg_pool_nhwc,
     resize_bilinear_nhwc,
     resize_nearest_nhwc,
@@ -41,30 +42,11 @@ from flair_for_aigle_tpu.ops.resize import (
 
 
 def resize_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Bilinear with align_corners=True (torch nn.UpsamplingBilinear2d)."""
-    h, w = x.shape[-3], x.shape[-2]
-    if (h, w) == (out_h, out_w):
-        return x
-
-    def weights(in_size, out_size):
-        if out_size == 1:
-            src = np.zeros(1)
-        else:
-            src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
-        lo = np.floor(src).astype(np.int64)
-        hi = np.minimum(lo + 1, in_size - 1)
-        return lo, hi, (src - lo).astype(np.float32)
-
-    lo_h, hi_h, wh = weights(h, out_h)
-    lo_w, hi_w, ww = weights(w, out_w)
-    xf = x.astype(jnp.float32)
-    top = jnp.take(xf, jnp.asarray(lo_h), axis=-3)
-    bot = jnp.take(xf, jnp.asarray(hi_h), axis=-3)
-    rows = top * (1 - jnp.asarray(wh))[:, None, None] + bot * jnp.asarray(wh)[:, None, None]
-    left = jnp.take(rows, jnp.asarray(lo_w), axis=-2)
-    right = jnp.take(rows, jnp.asarray(hi_w), axis=-2)
-    out = left * (1 - jnp.asarray(ww))[:, None] + right * jnp.asarray(ww)[:, None]
-    return out.astype(x.dtype)
+    """Bilinear with align_corners=True (torch nn.UpsamplingBilinear2d),
+    as interpolation matmuls (ops/resize.py:resize_bilinear_ac_nhwc). The
+    earlier gather+lerp form had a scatter-add backward that dominated the
+    TRAINING step's head+CE cost (x4 upsample of the 512x512x19 logits)."""
+    return resize_bilinear_ac_nhwc(x, out_h, out_w)
 
 
 class ConvBNReLU(nn.Module):

@@ -69,6 +69,46 @@ def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
+@lru_cache(maxsize=None)
+def _bilinear_ac_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) float32 two-tap interpolation matrix, align_corners=True
+    (torch nn.UpsamplingBilinear2d endpoint mapping)."""
+    if out_size == 1:
+        src = np.zeros(1)
+    else:
+        src = np.arange(out_size, dtype=np.float64) * (
+            (in_size - 1) / (out_size - 1))
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    f = (src - lo).astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - f)
+    np.add.at(m, (rows, hi), f)
+    return m
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def resize_bilinear_ac_nhwc(x: jax.Array, out_h: int, out_w: int
+                            ) -> jax.Array:
+    """Bilinear resize of (..., H, W, C), torch align_corners=TRUE
+    semantics, as two dense f32 interpolation matmuls. The gather+lerp
+    form's BACKWARD is a scatter-add over the source grid — measured
+    pathological on TPU (the UPerNet head's x4 upsample dominated the
+    train step's decoder+head cost, tools/exp_train_decomp.py 2026-08-19);
+    the matmul transpose rides the MXU instead. Same two-tap weights."""
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mh = jnp.asarray(_bilinear_ac_matrix(h, out_h))
+    mw = jnp.asarray(_bilinear_ac_matrix(w, out_w))
+    out = jnp.einsum("oh,...hwc->...owc", mh, xf)
+    out = jnp.einsum("pw,...owc->...opc", mw, out)
+    return out.astype(dtype)
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def resize_bilinear_nhwc(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Bilinear resize of (..., H, W, C), torch align_corners=False
@@ -94,6 +134,14 @@ def resize_nearest_nhwc(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == (out_h, out_w):
         return x
+    if out_h % h == 0 and out_w % w == 0:
+        # integer upscale: torch's floor(i*in/out) == i // k, i.e. exactly
+        # a repeat. jnp.repeat lowers to broadcast+reshape whose BACKWARD
+        # is a window reduce-sum — the gather form's backward is a
+        # scatter-add, measured pathological on TPU in the FPN/U-Net
+        # decoder backward (tools/exp_train_decomp.py 2026-08-19).
+        out = jnp.repeat(x, out_h // h, axis=-3)
+        return jnp.repeat(out, out_w // w, axis=-2)
     idx_h = jnp.asarray(_torch_nearest_index(h, out_h))
     idx_w = jnp.asarray(_torch_nearest_index(w, out_w))
     out = jnp.take(x, idx_h, axis=-3)

@@ -49,7 +49,15 @@ def weighted_cross_entropy(logits: jax.Array, targets: jax.Array,
 
     logits (B, C, H, W) float; targets (B, H, W) int; weights (C,).
     """
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
-    nll = -jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
+    lf = logits.astype(jnp.float32)
+    # nll = logsumexp - logit_at_target, with the target pick as a dense
+    # one-hot contraction: identical math to log_softmax + take_along_axis,
+    # but the backward is the dense (softmax - onehot) instead of a
+    # scatter-add into (B, C, H, W) — scatters measured pathological on
+    # TPU at the 512x512x19 logit size (tools/exp_train_decomp.py).
+    lse = jax.scipy.special.logsumexp(lf, axis=1)
+    onehot = (targets[:, None] == jnp.arange(lf.shape[1])[None, :, None, None])
+    picked = jnp.sum(lf * onehot.astype(jnp.float32), axis=1)
+    nll = lse - picked
     w = weights[targets]
     return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
