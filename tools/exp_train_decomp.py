@@ -46,7 +46,11 @@ class Enc(nn.Module):
     def __call__(self, x):
         feats = SwinTransformerEncoder(in_channels=3, remat=True,
                                        attn_f32=False, name="enc")(x, True)
-        return feats[2]
+        # consume EVERY stage output — returning a single stage lets XLA
+        # DCE the others and silently shifts their cost into the next
+        # decomposition bucket (the r5 first run mis-attributed ~90 ms of
+        # encoder stages 2-4 to the "decoder" this way)
+        return sum(jnp.sum(f.astype(jnp.float32) ** 2) for f in feats[2:])
 
 
 class EncDec(nn.Module):
