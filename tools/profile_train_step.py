@@ -37,13 +37,14 @@ NC = 19
 DT = jnp.bfloat16
 ATTN_F32 = bool(int(os.getenv("ATTN_F32", "0")))
 KMODE = os.getenv("ATTN_KERNEL", "auto")
+REMAT = bool(int(os.getenv("REMAT", "1")))
 
 
 class Seg(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = SwinTransformerEncoder(
-            in_channels=3, remat=True, attn_f32=ATTN_F32,
+            in_channels=3, remat=REMAT, attn_f32=ATTN_F32,
             attn_kernel=KMODE, name="enc")(x, train=train)
         y = UPerNetDecoder(name="dec")(*feats, train=train)
         lg = UPerNetSegmentationHead(classes=NC, upsampling=4,
@@ -105,7 +106,7 @@ def main():
     print(json.dumps({
         "train_step_ms": round(per * 1e3, 1),
         "img_per_s": round(B / per, 1),
-        "batch": B, "attn_f32": ATTN_F32, "attn_kernel": KMODE,
+        "batch": B, "attn_f32": ATTN_F32, "attn_kernel": KMODE, "remat": REMAT,
     }))
 
 
