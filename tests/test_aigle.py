@@ -120,6 +120,7 @@ def aigle_env(tmp_path, monkeypatch):
     return tmp_path, str(cfg_path), image_set
 
 
+@pytest.mark.slow
 def test_run_fast_aigle_segmentation(aigle_env):
     tmp_path, model_config, image_set = aigle_env
     from flair_for_aigle_tpu.aigle.run_fast_aigle_segmentation import (

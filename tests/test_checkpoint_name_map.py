@@ -61,6 +61,7 @@ def _external_layout(sd: dict) -> dict:
     return out
 
 
+@pytest.mark.slow
 def test_flagship_geometry(flagship):
     _, _, _, variables = flagship
     p = variables["params"]

@@ -57,6 +57,7 @@ def test_encoder_parity_vs_torch():
             atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_convnext_upernet_golden_vs_torch():
     """Full SmpModel('convnext_micro-upernet') vs the torch container,
     through the converter — the decoder attaches and numerics hold."""

@@ -34,6 +34,7 @@ def test_dilated_resnet_feature_geometry():
     assert s32 == s16
 
 
+@pytest.mark.slow
 def test_resnet34_deeplab_golden_vs_torch():
     torch.manual_seed(0)
     tmodel = TResNet34DeepLab(3, classes=6).eval()

@@ -8,6 +8,8 @@ equivalent of the reference's DDP ranks — and checks:
 * rank gating: only process 0 persists metrics.
 """
 
+import pytest
+
 import json
 import os
 import socket
@@ -144,6 +146,7 @@ print(f"TRAIN_OK {{idx}} loss={{loss:.9f}} sig={{sig:.6f}}", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_process_train_step_gradient_sync(tmp_path):
     """Reference multi-node DDP training (trainers.py:81-91): one train_step
     over a 2-process x 4-virtual-device mesh with per-host batch halves must

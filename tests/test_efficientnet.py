@@ -59,6 +59,7 @@ def test_factory_name_surface():
         encoder_out_channels("efficientnet_lite0", 3)
 
 
+@pytest.mark.slow
 def test_encoder_parity_vs_torch():
     torch.manual_seed(0)
     tenc = TEfficientNetEncoder(3, STEM, STAGES).eval()
@@ -84,6 +85,7 @@ def test_encoder_parity_vs_torch():
             atol=3e-5, rtol=3e-5)
 
 
+@pytest.mark.slow
 def test_efficientnet_unet_golden_vs_torch():
     """Full SmpModel('efficientnet_micro-unet') vs the torch container,
     through the converter — the real s2 skip feeds the Unet decoder."""
@@ -109,6 +111,7 @@ def test_efficientnet_unet_golden_vs_torch():
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_flair_model_builds_with_efficientnet():
     from tests._fixtures import make_config
     from flair_for_aigle_tpu.models.flair_model import FlairHubModel

@@ -1,5 +1,7 @@
 """FlairHubModel: structure, shapes, fusion cases, checkpoint key layout."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,6 +39,7 @@ def test_mono_only_single_task():
     assert "main_decoders.TASK-A.seg_model.segmentation_head.0.weight" in keys
 
 
+@pytest.mark.slow
 def test_mono_multi_fusion_with_aux():
     cfg = make_config(
         mono=("AERIAL_RGBI",), multi=("SENTINEL2_TS",),

@@ -3,6 +3,8 @@ checkpoint converter; attach to every encoder family. Reference surface:
 ``smp.create_model(arch=...)`` accepts 'fpn'
 (/root/reference/flair_hub/models/monotemp_model.py:67-92)."""
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -37,6 +39,7 @@ def test_resnet34_fpn_golden_vs_torch():
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_fpn_attaches_to_transformer_encoders():
     """Zero-channel dummy features never reach the FPN (features[-4:])."""
     for arch in ("swin_micro_patch4_window4_64-fpn", "convnext_micro-fpn",
@@ -63,6 +66,7 @@ def test_fpn_dropout_active_in_train():
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
 
+@pytest.mark.slow
 def test_flair_model_builds_with_fpn_and_deeplab():
     """Multimodal FlairHubModel attaches the new decoders; deeplab gets a
     dilated (output_stride 16) encoder from the factory."""

@@ -56,6 +56,7 @@ def test_upernet_decoder_head_parity_small():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_flagship_512px_golden_vs_torch():
     torch.manual_seed(0)
     tmodel = TSwinUPerNet(in_channels=3, classes=19).eval()

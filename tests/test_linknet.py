@@ -3,6 +3,8 @@ the checkpoint converter. Reference surface: ``smp.create_model(arch=...)``
 accepts 'linknet' (/root/reference/flair_hub/models/monotemp_model.py:67-92).
 """
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -40,6 +42,7 @@ def test_resnet34_linknet_golden_vs_torch():
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_linknet_attaches_to_efficientnet():
     """Conv pyramids (identity + 5 strided features) drive all 5 blocks to
     full resolution; the residual skip-add needs exact channel matches."""

@@ -4,6 +4,8 @@ reshape-not-transpose quirks. Reference surface:
 ``smp.create_model(arch=...)`` accepts 'manet'
 (/root/reference/flair_hub/models/monotemp_model.py:67-92)."""
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -15,6 +17,7 @@ from flair_for_aigle_tpu.models.monotemp import SmpModel
 from tests.torch_refs import TResNet34MAnet
 
 
+@pytest.mark.slow
 def test_resnet34_manet_golden_vs_torch():
     torch.manual_seed(0)
     tmodel = TResNet34MAnet(3, classes=7).eval()
@@ -38,6 +41,7 @@ def test_resnet34_manet_golden_vs_torch():
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_manet_attaches_to_efficientnet():
     model = SmpModel(arch="efficientnet_micro-manet", in_channels=3,
                      classes=5)

@@ -151,6 +151,7 @@ MICRO_KW = dict(
 )
 
 
+@pytest.mark.slow
 def test_multimodal_micro_golden_vs_torch():
     # 128 px keeps every swin stage >= the window (32,16,8,4 with ws=4)
     model, variables, tmodel, batch_np, jb = build_pair(
@@ -177,6 +178,7 @@ FLAGSHIP_KW = dict(
 )
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_multimodal_flagship_512px_golden_vs_torch():
     """Production LC geometry: swin-base window-12 @ 512 px, 19 classes,

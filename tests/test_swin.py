@@ -1,6 +1,8 @@
 """Golden parity: flax Swin encoder vs torch reference (timm-1.x layout),
 through the checkpoint converter."""
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -12,6 +14,7 @@ from flair_for_aigle_tpu.models.swin import SwinTransformerEncoder
 from tests.torch_refs import TSwinEncoder
 
 
+@pytest.mark.slow
 def test_swin_encoder_parity():
     torch.manual_seed(0)
     # small swin: embed 32, window 4, input 64 -> feats 16,8,4,2; stages with

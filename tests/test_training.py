@@ -102,6 +102,7 @@ def toy(tmp_path_factory):
     return root, csvs
 
 
+@pytest.mark.slow
 def test_full_training_and_predict(toy):
     root, csvs = toy
     cfg = make_train_config(root, csvs)
@@ -171,6 +172,7 @@ def test_loss_weights_and_ce():
     assert abs(want - got) < 1e-5
 
 
+@pytest.mark.slow
 def test_aux_loss_fix_changes_gradients(toy):
     """aux_loss_fix=True routes gradients through aux decoders (the
     reference's aux path is dead code; ours is opt-in)."""
@@ -278,6 +280,7 @@ def test_orbax_full_state_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_orbax_resume_config_flag(tmp_path):
     """tasks.train_tasks.resume_full_state_from_orbax resumes step count and
     optimizer state through the train() driver."""

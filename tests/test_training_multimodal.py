@@ -129,6 +129,7 @@ def make_cfg(root, csvs):
     return cfg
 
 
+@pytest.mark.slow
 def test_multimodal_training_epoch(mm_toy):
     root, csvs = mm_toy
     cfg = make_cfg(root, csvs)

@@ -3,6 +3,8 @@ through the checkpoint converter; transformer-encoder attach. Reference
 surface: ``smp.create_model(arch='unetplusplus')``
 (/root/reference/flair_hub/models/monotemp_model.py:67-92)."""
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -14,6 +16,7 @@ from flair_for_aigle_tpu.models.monotemp import SmpModel
 from tests.torch_refs import TResNet34UnetPlusPlus
 
 
+@pytest.mark.slow
 def test_resnet34_unetplusplus_golden_vs_torch():
     torch.manual_seed(0)
     tmodel = TResNet34UnetPlusPlus(3, classes=6).eval()
@@ -37,6 +40,7 @@ def test_resnet34_unetplusplus_golden_vs_torch():
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_unetplusplus_attaches_to_transformer_encoders():
     """Zero-channel dummy skips contribute 0 channels to the dense concats
     (smp behavior); output is full resolution."""

@@ -1,3 +1,5 @@
+import pytest
+
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -19,6 +21,7 @@ def test_align_corners_resize_matches_torch():
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(out))
 
 
+@pytest.mark.slow
 def test_swin_upernet_end_to_end_shapes():
     """Flagship arch assembly (small config): full-res logits out."""
     model = SmpModel(arch="swin_base_patch4_window12_384-upernet",

@@ -111,6 +111,7 @@ def test_slicing_grid_covers_and_dedups(tmp_path):
         assert t["left"] >= 10000.0 - MARGIN * RES - 1e-6
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("output_type", ["argmax", "class_prob"])
 def test_run_inference_end_to_end(tmp_path, output_type):
     img = str(tmp_path / "img.tif")
@@ -134,6 +135,7 @@ def test_run_inference_end_to_end(tmp_path, output_type):
         assert np.abs(sums - 255).max() <= 3
 
 
+@pytest.mark.slow
 def test_canvas_matches_host_reference_loop(tmp_path):
     """Byte parity: on-device stitch vs the reference's host write loop."""
     img = str(tmp_path / "img.tif")
@@ -185,6 +187,7 @@ def test_canvas_matches_host_reference_loop(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_device_norm_matches_host_norm(tmp_path):
     """normalize_on_device fast path produces the same argmax raster as the
     host float64 parity path."""
@@ -206,6 +209,7 @@ def test_device_norm_matches_host_norm(tmp_path):
     assert agree > 0.999, f"device-norm disagreement: {1 - agree:.4%}"
 
 
+@pytest.mark.slow
 def test_zonal_data_parallel_matches_single_device(tmp_path):
     """batch sharded over the 8-device CPU mesh -> identical canvas."""
     img = str(tmp_path / "img.tif")
@@ -226,6 +230,7 @@ def test_zonal_data_parallel_matches_single_device(tmp_path):
     np.testing.assert_array_equal(want, got)
 
 
+@pytest.mark.slow
 def test_run_inference_output_rescale(tmp_path):
     """output_px_meters != reference resolution: device nearest-rescale path
     matches the host reference loop byte-for-byte."""
@@ -303,6 +308,7 @@ def test_slicing_with_geozone_clip(tmp_path):
     assert generate_patches_from_reference(cfg, img, [far]) == []
 
 
+@pytest.mark.slow
 def test_device_resident_tiles_match_host_path(tmp_path):
     """HBM-resident gather path == host windowed-read path, byte for byte
     (same device norm on both sides; only the tile transport differs)."""
@@ -331,6 +337,7 @@ def test_device_resident_tiles_match_host_path(tmp_path):
     np.testing.assert_array_equal(want, got)
 
 
+@pytest.mark.slow
 def test_device_resident_tiles_rescale_and_scaling_norm(tmp_path):
     """Resident path with 'scaling' norm (auto-gates with no opt-in flag)
     and a coarser output resolution."""
@@ -460,6 +467,7 @@ def test_stripe_codec_probe_commit():
     np.testing.assert_array_equal(dst2, np.asarray(noise[:, 1536:2048, :w]))
 
 
+@pytest.mark.slow
 def test_run_inference_d2h_codecs_identical(tmp_path):
     """auto (RLE tiers), pack5, and raw D2H must land bit-identical
     rasters through the full run_inference path."""
@@ -509,6 +517,7 @@ def test_kernels_not_disabled_under_dp(tmp_path):
     assert mc2["models"]["monotemp_model"]["attn_kernel"] == "auto"
 
 
+@pytest.mark.slow
 def test_zonal_dp_resident_path_matches_single_device(tmp_path):
     """HBM-resident raster path under the 8-device CPU mesh: replicated
     rasters + shard_mapped gather/forward must produce the identical
@@ -543,6 +552,7 @@ def test_zonal_dp_resident_path_matches_single_device(tmp_path):
     np.testing.assert_array_equal(want, got)
 
 
+@pytest.mark.slow
 def test_zonal_dp_kernels_on_matches_single_device(tmp_path):
     """Fused pallas kernels (attention + FFN + stride-4 epilogue) running
     inside shard_map over the 8-device CPU mesh (interpret mode) produce the
@@ -569,6 +579,7 @@ def test_zonal_dp_kernels_on_matches_single_device(tmp_path):
     np.testing.assert_array_equal(want, got)
 
 
+@pytest.mark.slow
 def test_pack_d2h_disabled_matches(tmp_path):
     """pack_d2h=False must produce a byte-identical raster to the default
     packed path."""
@@ -590,6 +601,7 @@ def test_pack_d2h_disabled_matches(tmp_path):
     np.testing.assert_array_equal(outs[True], outs[False])
 
 
+@pytest.mark.slow
 def test_class_prob_fused_epilogue_e2e(tmp_path):
     """class_prob zonal run: fused epilogue (interpret) within one uint8
     step of the unfused path, end to end."""
@@ -613,6 +625,7 @@ def test_class_prob_fused_epilogue_e2e(tmp_path):
     np.testing.assert_array_equal(outs[True], outs[False])
 
 
+@pytest.mark.slow
 def test_host_path_foreign_loader_order(tmp_path):
     """A loader without the ``order`` attribute iterates however it wants;
     the streaming frontier must stay fully conservative and the output

@@ -43,6 +43,7 @@ def mm_env(tmp_path):
     return tmp_path, aerial, s2, msk_path, str(dates_txt)
 
 
+@pytest.mark.slow
 def test_multimodal_zonal_run(mm_env, tmp_path):
     tmp, aerial, s2, msk, dates_txt = mm_env
     from flair_for_aigle_tpu.zonal.inference import run_inference
