@@ -58,6 +58,7 @@ def test_read_torch_ckpt_format(tmp_path):
     assert sd["a.weight"].shape == (2, 3)
 
 
+@pytest.mark.slow
 def test_load_checkpoint_head_mismatch_reinit(tmp_path):
     """Checkpoint with 19-class heads loads into a 5-class model: heads get
     Xavier/zeros re-init, the rest loads (reference checkpoint.py:87-131)."""

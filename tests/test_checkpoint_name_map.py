@@ -77,6 +77,7 @@ def test_flagship_geometry(flagship):
     assert enc["layers.1.downsample"]["reduction"]["kernel"].shape == (512, 256)
 
 
+@pytest.mark.slow
 def test_external_layout_loads_with_zero_reinit(flagship, tmp_path):
     cfg, model, batch, variables = flagship
     sd = export_torch_state_dict(variables)

@@ -83,6 +83,7 @@ def test_convnext_upernet_golden_vs_torch():
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_flair_model_builds_with_convnext():
     """The monotemp factory + FlairHubModel attach convnext end-to-end."""
     from tests._fixtures import make_config

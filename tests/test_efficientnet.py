@@ -131,6 +131,7 @@ def test_flair_model_builds_with_efficientnet():
     assert "se" in sub["blocks.1.0"]
 
 
+@pytest.mark.slow
 def test_train_mode_updates_batch_stats():
     """BN running stats update under train=True (torch momentum semantics
     come from TorchBatchNorm; here just wire-level: mutable batch_stats)."""

@@ -62,6 +62,7 @@ def test_jp2_windowed_and_boundless(jp2_file):
         assert b2.shape == (1, 32, 32)
 
 
+@pytest.mark.slow
 def test_zonal_run_on_jp2(tmp_path):
     """End-to-end zonal inference directly on a GeoJP2 input."""
     rng = np.random.default_rng(3)

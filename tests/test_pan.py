@@ -2,6 +2,8 @@
 checkpoint converter. Reference surface: ``smp.create_model(arch=...)``
 accepts 'pan' (FPA needs a >=8px bottleneck, so 128px input) (/root/reference/flair_hub/models/monotemp_model.py:67-92)."""
 
+import pytest
+
 import numpy as np
 import torch
 import jax
@@ -13,6 +15,7 @@ from flair_for_aigle_tpu.models.monotemp import SmpModel
 from tests.torch_refs import TResNet34PAN
 
 
+@pytest.mark.slow
 def test_resnet34_pan_golden_vs_torch():
     torch.manual_seed(0)
     tmodel = TResNet34PAN(3, classes=7).eval()

@@ -116,6 +116,7 @@ def test_swin_block_kernel_on_off_parity(h, w, shift, monkeypatch):
                                rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_swin_block_kernel_grad_parity(monkeypatch):
     monkeypatch.setenv("FLAIR_SWIN_PREP", "1")
     from flair_for_aigle_tpu.models.swin import SwinBlock
