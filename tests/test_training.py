@@ -215,6 +215,7 @@ def test_aux_loss_fix_changes_gradients(toy):
     assert loss_on > loss_off        # aux terms add to the loss
 
 
+@pytest.mark.slow
 def test_metrics_only_mode(toy):
     """predict_stage metrics_only recomputes metrics from rasters on disk."""
     import json
