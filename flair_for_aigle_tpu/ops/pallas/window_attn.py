@@ -814,19 +814,79 @@ def _build_bwd_chunked_call(bnw: int, t: int, c: int, nh: int, shifted: bool,
     return call, nhc
 
 
+def _probe_compiles(call, arg_avals) -> bool:
+    """AOT-compile the pallas_call alone against abstract inputs; True if
+    the backend accepts it. The VMEM pickers model Mosaic's accounting
+    analytically (incl. its double-buffering of grid-varying blocks) and
+    are validated at every swin-base geometry, but an unmodeled user
+    geometry must degrade to the XLA twin instead of failing the CALLER's
+    whole train-step compile with an opaque remote-compile error. Probes
+    run once per geometry (the builders are lru_cached) and land in the
+    persistent compile cache. Inputs are fed from an op, not entry params
+    — entry-param feeding over-reports scoped-VMEM pressure (round-3
+    gotcha), making the probe falsely conservative."""
+    try:
+        def f(*args):
+            return call(args[0] + args[1].astype(args[0].dtype), *args[1:])
+
+        jax.jit(f).lower(*arg_avals).compile()
+        return True
+    except Exception:  # noqa: BLE001 — any compile failure means "next"
+        return False
+
+
+def _bwd_probe_avals(bnw, t, c, nh, dt, chunked: bool):
+    sds = jax.ShapeDtypeStruct
+    if chunked:
+        return (sds((bnw, t, c), dt), sds((bnw, t, c), dt),
+                sds((3, c, c), dt), sds((3, c), dt), sds((c, c), dt),
+                sds((nh, t, t), jnp.float32), sds((4, t, t), jnp.float32))
+    return (sds((bnw, t, c), dt), sds((bnw, t, c), dt),
+            sds((c, 3 * c), dt), sds((1, 3 * c), dt), sds((c, c), dt),
+            sds((nh, t, t), jnp.float32), sds((4, t, t), jnp.float32))
+
+
+@lru_cache(maxsize=None)
+def _bwd_call_validated(bnw: int, t: int, c: int, nh: int, shifted: bool,
+                        nwh: int, nww: int, in_dtype_str: str,
+                        interpret: bool, attn_f32: bool):
+    """(kind, call) with kind in {"mono", "chunked"} — the first backward
+    kernel whose compile the backend accepts — or None. In interpret mode
+    (CPU tests) the analytic pickers are trusted as-is."""
+    dt = jnp.dtype(in_dtype_str)
+    call = _build_bwd_call(bnw, t, c, nh, shifted, nwh, nww, in_dtype_str,
+                           interpret, attn_f32)
+    if call is not None and (
+            interpret or _probe_compiles(
+                call, _bwd_probe_avals(bnw, t, c, nh, dt, chunked=False))):
+        return "mono", call
+    built = _build_bwd_chunked_call(bnw, t, c, nh, shifted, nwh, nww,
+                                    in_dtype_str, interpret, attn_f32)
+    if built is not None:
+        ccall, _ = built
+        if interpret or _probe_compiles(
+                ccall, _bwd_probe_avals(bnw, t, c, nh, dt, chunked=True)):
+            return "chunked", ccall
+    return None
+
+
 def _kernel_bwd(res, g, *, num_heads, window_size, shift_size, grid_hw,
                 interpret, attn_f32=True):
-    """Pallas backward; returns None when no kernel geometry fits VMEM.
-    Tries the monolithic kernel first (all heads resident, dx written
-    once), then the head-chunked variant (stages 3-4, C=512/1024)."""
+    """Pallas backward; returns None when no kernel geometry fits VMEM or
+    passes the compile probe. Tries the monolithic kernel first (all heads
+    resident, dx written once), then the head-chunked variant (stages 3-4,
+    C=512/1024)."""
     x, wqkv, bqkv, wproj, bproj, bias = res
     bnw, t, c = x.shape
     shifted = shift_size > 0
     dt = x.dtype
-    call = _build_bwd_call(bnw, t, c, num_heads, shifted,
-                           grid_hw[0], grid_hw[1], str(x.dtype), interpret,
-                           attn_f32)
-    if call is not None:
+    picked = _bwd_call_validated(bnw, t, c, num_heads, shifted,
+                                 grid_hw[0], grid_hw[1], str(x.dtype),
+                                 interpret, attn_f32)
+    if picked is None:
+        return None
+    kind, call = picked
+    if kind == "mono":
         mask = jnp.asarray(
             shift_mask_bank(window_size, shift_size if shifted else 1))
         dx, dwqkv, dbqkv, dwproj, dbproj, dbias = call(
@@ -839,12 +899,6 @@ def _kernel_bwd(res, g, *, num_heads, window_size, shift_size, grid_hw,
                 dwproj.astype(wproj.dtype),
                 dbproj.reshape(c).astype(bproj.dtype),
                 dbias.astype(bias.dtype))
-    built = _build_bwd_chunked_call(bnw, t, c, num_heads, shifted,
-                                    grid_hw[0], grid_hw[1], str(x.dtype),
-                                    interpret, attn_f32)
-    if built is None:
-        return None
-    call, _ = built
     mask = jnp.asarray(
         shift_mask_bank(window_size, shift_size if shifted else 1))
     # Wqkv (C, 3C) columns are [q | k | v]: reorganize to (3, C, C) so a
