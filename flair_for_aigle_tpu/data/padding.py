@@ -18,7 +18,7 @@ from typing import Any, Dict, List, Sequence
 
 import numpy as np
 
-from flair_for_aigle_tpu.data.sentinel import select_keep_indices
+from flair_for_aigle_tpu.data.sentinel import select_keep_indices, warn_once
 
 logger = logging.getLogger(__name__)
 
@@ -39,7 +39,8 @@ def pad_tensor(x: np.ndarray, length: int, pad_value: float = 0) -> np.ndarray:
     if padlen == 0:
         return x
     if padlen < 0:
-        logger.warning(
+        warn_once(
+            ("collate", x.shape[0], length),
             "collate: sample has %d dates > fixed T %d: dropping %d by even "
             "temporal subsampling (reference pads to the batch max and "
             "never drops — raise fixed_t to avoid)",

@@ -18,16 +18,37 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+_warned: set = set()
+
+
+def warn_once(key, msg: str, *args) -> None:
+    """Per-process warning dedup for the T-overflow messages: a zonal run
+    can overflow on thousands of tiles (two arrays each), and the 1-core
+    host is the documented throughput ceiling — one line per distinct
+    (what, T, bucket) carries the same signal."""
+    if key not in _warned:
+        _warned.add(key)
+        logger.warning(msg + " (further identical warnings suppressed)",
+                       *args)
+
 
 def reshape_sentinel(arr: np.ndarray, chunk_size: int = 10) -> np.ndarray:
     first = arr.shape[0] // chunk_size
     return arr.reshape((first, chunk_size, *arr.shape[1:]))
 
 
+# Reference defaults (flair_hub sentinel.py): a date is "covered" at a
+# pixel where cloud (ch 1) or snow (ch 0) exceeds these. Shared so the
+# zonal dataset's per-date coverage ranking (T-overflow policy) uses the
+# SAME notion of invalid as the validity filter below.
+MAX_CLOUD_VALUE = 1
+MAX_SNOW_VALUE = 1
+
+
 def filter_time_series(
     data_array: np.ndarray,
-    max_cloud_value: int = 1,
-    max_snow_value: int = 1,
+    max_cloud_value: int = MAX_CLOUD_VALUE,
+    max_snow_value: int = MAX_SNOW_VALUE,
     max_fraction_covered: float = 0.05,
 ) -> np.ndarray:
     """(T, 2, H, W) mask stack -> (T,) bool of retained dates.
@@ -159,7 +180,8 @@ def pad_to_fixed_t(
         return arr
     if t > target_t:
         keep = select_keep_indices(t, target_t, coverage)
-        logger.warning(
+        warn_once(
+            (what, t, target_t, coverage is not None),
             "%s has %d dates > fixed T bucket %d: dropping %d by %s "
             "(reference keeps all dates; raise fixed_time_steps to avoid)",
             what, t, target_t, t - target_t,

@@ -350,6 +350,20 @@ def _build_bwd_call(n: int, c: int, hidden: int, eps: float,
         ),
         interpret=interpret,
     )
+    if not interpret:
+        # compile-probe safety net (same rationale as the attention
+        # backward's, window_attn.py:_probe_compiles): an unmodeled
+        # geometry on this opt-in path must degrade to the XLA twin, not
+        # fail the caller's whole compile.
+        from flair_for_aigle_tpu.ops.pallas.window_attn import _probe_compiles
+
+        sds = jax.ShapeDtypeStruct
+        avals = (sds((n, c), dt), sds((n, c), dt),
+                 sds((1, c), jnp.float32), sds((1, c), jnp.float32),
+                 sds((c, hidden), dt), sds((1, hidden), dt),
+                 sds((hidden, c), dt), sds((n, c), dt))
+        if not _probe_compiles(call, avals):
+            return None
     return call
 
 

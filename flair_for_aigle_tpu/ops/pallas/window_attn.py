@@ -244,9 +244,10 @@ def _kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                 # (4.5x fewer divides at T=144, hd=32); sum stays f32.
                 # min(s, 80) overflow guard: exp(80-30) ~ 5e21 stays finite
                 # in f32, so a pathological score spike (training warmup,
-                # corrupted weights) saturates the row toward its clamped
-                # argmax instead of producing inf/NaN. One VPU op; measured
-                # free on v5e (same-phase A/B, see CLAUDE.md round 5).
+                # corrupted weights) stays finite instead of inf/NaN
+                # (entries above the clamp flatten to EQUAL weight — a
+                # degraded but finite row, not the true argmax). One VPU
+                # op; measured free on v5e (same-phase A/B, CLAUDE.md r5).
                 e = jnp.exp(_guard(s) - 30.0)
                 denom = jnp.sum(e, axis=-1, keepdims=True) + 1e-37
                 o = lax.dot_general(
@@ -481,11 +482,12 @@ def _bwd_kernel_body(nh: int, t: int, c: int, bw: int, shifted: bool,
                     # backward algebra below needs explicit normalized p,
                     # so the deferred-normalization trick stays fwd-only.
                     # min(s, 80) overflow guard as in the forward: a score
-                    # spike under training dynamics saturates instead of
+                    # spike under training dynamics stays finite instead of
                     # NaN-ing the gradients (the clamp's own derivative is
                     # ignored — exact whenever no clamping occurs, which is
-                    # every realistic step; a clamped row's grad is the
-                    # saturated-softmax grad, finite and well-scaled).
+                    # every realistic step; a clamped row's grad is that of
+                    # the flattened-over-clamped-entries softmax, finite
+                    # and well-scaled).
                     e = jnp.exp(_guard(s) - 30.0)
                     p = e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-37)
                 else:
@@ -831,7 +833,18 @@ def _probe_compiles(call, arg_avals) -> bool:
 
         jax.jit(f).lower(*arg_avals).compile()
         return True
-    except Exception:  # noqa: BLE001 — any compile failure means "next"
+    except Exception as e:  # noqa: BLE001 — any compile failure means "next"
+        # Log the cause: a VMEM rejection is expected gating, but a
+        # transient backend/RPC error here demotes this geometry for the
+        # PROCESS lifetime (the builders are lru-cached) — the message is
+        # the only way to tell the two apart post hoc.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "attention-backward kernel probe failed for shape %s (%s: %s)"
+            " — falling back to the next variant for this process",
+            tuple(a.shape for a in arg_avals[:1]), type(e).__name__,
+            str(e)[:300])
         return False
 
 

@@ -55,9 +55,14 @@ def weighted_cross_entropy(logits: jax.Array, targets: jax.Array,
     # but the backward is the dense (softmax - onehot) instead of a
     # scatter-add into (B, C, H, W) — scatters measured pathological on
     # TPU at the 512x512x19 logit size (tools/exp_train_decomp.py).
+    # Targets are clamped into [0, C) first (same policy as jnp's clamped
+    # gather, and the same clamp weights[targets] applies below), and the
+    # pick uses where() instead of multiply so a -inf logit elsewhere in a
+    # pixel's class vector cannot poison the sum with -inf * 0 = NaN.
     lse = jax.scipy.special.logsumexp(lf, axis=1)
-    onehot = (targets[:, None] == jnp.arange(lf.shape[1])[None, :, None, None])
-    picked = jnp.sum(lf * onehot.astype(jnp.float32), axis=1)
+    tc = jnp.clip(targets, 0, lf.shape[1] - 1)
+    onehot = tc[:, None] == jnp.arange(lf.shape[1])[None, :, None, None]
+    picked = jnp.sum(jnp.where(onehot, lf, 0.0), axis=1)
     nll = lse - picked
     w = weights[targets]
     return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)

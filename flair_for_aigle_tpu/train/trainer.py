@@ -190,15 +190,8 @@ def train(config: Dict[str, Any], data_module, model, variables,
     train_loader = data_module.train_dataloader()
     val_loader = data_module.val_dataloader()
     steps_per_epoch = max(1, len(train_loader))
-    # scheduler_total_steps: optional override of the schedule horizon —
-    # a resumed run (num_epochs = epochs to run NOW) passes the original
-    # run's planned total so one_cycle traces the same curve across the
-    # kill/resume boundary.
-    total_steps = (hp.get("scheduler_total_steps")
-                   or steps_per_epoch * num_epochs)
 
     optimizer = make_optimizer(hp)
-    scheduler = make_scheduler(hp, total_steps)
     opt_state = optimizer.init(variables["params"])
     state = TrainState(
         params=replicate_tree(mesh, variables["params"]),
@@ -232,6 +225,21 @@ def train(config: Dict[str, Any], data_module, model, variables,
         )
         logger.info("Resumed full training state from %s (step %d)",
                     orbax_resume, int(state.step))
+
+    # Schedule horizon AFTER any resume: hp.scheduler_total_steps pins the
+    # original run's planned total (exact one_cycle continuity across a
+    # kill/resume); otherwise the horizon is restored-step + epochs-to-run
+    # — for a fresh run that is just steps_per_epoch*num_epochs, and for a
+    # resumed run the schedule continues over the remaining epochs instead
+    # of clamping every resumed step to the schedule's final (min) LR.
+    total_steps = (hp.get("scheduler_total_steps")
+                   or int(state.step) + steps_per_epoch * num_epochs)
+    scheduler = make_scheduler(hp, total_steps)
+    if int(state.step) and not hp.get("scheduler_total_steps"):
+        logger.info(
+            "scheduler horizon defaulted to resumed step + %d epochs = %d "
+            "steps; set hyperparams.scheduler_total_steps to pin the "
+            "original run's schedule instead", num_epochs, total_steps)
 
     train_step, eval_step, _ = make_steps(model, config, optimizer,
                                           aux_loss_fix=aux_loss_fix)

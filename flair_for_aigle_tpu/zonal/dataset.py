@@ -27,6 +27,8 @@ from typing import Any, Dict, Iterable, List, Optional
 import numpy as np
 
 from flair_for_aigle_tpu.data.sentinel import (
+    MAX_CLOUD_VALUE,
+    MAX_SNOW_VALUE,
     filter_time_series,
     pad_to_fixed_t,
     reshape_sentinel,
@@ -186,9 +188,10 @@ class MultiModalSlicedDataset:
             msk = reshape_sentinel(msk, chunk_size=2)
             valid = filter_time_series(msk)
             # per-date invalid fraction (cloud ch1 / snow ch0 above the
-            # filter_time_series default thresholds)
+            # SAME thresholds filter_time_series retains dates by)
             coverage = np.mean(
-                (msk[:, 1] > 1) | (msk[:, 0] > 1), axis=(1, 2))
+                (msk[:, 1] > MAX_CLOUD_VALUE)
+                | (msk[:, 0] > MAX_SNOW_VALUE), axis=(1, 2))
             if valid.sum() > 0:
                 patch = patch[valid]
                 dates = dates[valid]
